@@ -1,0 +1,191 @@
+"""Unit tests for ray math, inverse-CDF samplers, and camera decomposition."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurecon_tpu.ops import (
+    get_dvals_from_radius,
+    get_rays,
+    get_rays_at,
+    get_sphere_intersection,
+    near_far_from_sphere,
+    sample_cdf,
+    sample_pdf,
+    searchsorted,
+)
+from neurecon_tpu.utils.camera import load_K_Rt_from_P, look_at, quat_to_rot, rot_to_quat
+
+
+def _normalize(v):
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+class TestRays:
+    def _cam(self):
+        # camera at (0,0,-4) looking at origin
+        c2w = np.asarray(look_at(np.array([0.0, 0.0, -4.0]), np.zeros(3)), np.float32)
+        intr = np.eye(4, dtype=np.float32)
+        intr[0, 0] = intr[1, 1] = 200.0
+        intr[0, 2], intr[1, 2] = 100.0, 75.0
+        return jnp.asarray(c2w), jnp.asarray(intr)
+
+    def test_center_pixel_points_at_target(self):
+        c2w, intr = self._cam()
+        H, W = 150, 200
+        inds = jnp.array([75 * W + 100])  # principal point pixel
+        rays_o, rays_d = get_rays_at(inds, c2w, intr, H, W)
+        d = _normalize(rays_d)[0]
+        assert np.allclose(np.asarray(rays_o[0]), [0, 0, -4], atol=1e-5)
+        assert np.allclose(np.asarray(d), [0, 0, 1], atol=1e-5)
+
+    def test_random_rays_shapes_and_inds(self):
+        c2w, intr = self._cam()
+        H, W = 150, 200
+        key = jax.random.PRNGKey(0)
+        rays_o, rays_d, inds = get_rays(key, c2w[None], intr[None], H, W, N_rays=64)
+        assert rays_o.shape == (1, 64, 3) and rays_d.shape == (1, 64, 3)
+        assert inds.shape == (1, 64)
+        assert int(inds.max()) < H * W and int(inds.min()) >= 0
+        # ray through the same pixel index must match the full-image rays
+        ro_f, rd_f, inds_f = get_rays(key, c2w[None], intr[None], H, W, N_rays=-1)
+        np.testing.assert_allclose(
+            np.asarray(rd_f[0, np.asarray(inds[0])]), np.asarray(rays_d[0]), rtol=1e-5)
+
+    def test_near_far_sphere(self):
+        rays_o = jnp.array([[0.0, 0.0, -4.0]])
+        rays_d = jnp.array([[0.0, 0.0, 1.0]])
+        near, far = near_far_from_sphere(rays_o, rays_d, r=1.0)
+        # conservative chord: mid=4 -> near=3, far=5
+        assert np.allclose(np.asarray(near), 3.0) and np.allclose(np.asarray(far), 5.0)
+
+        n2, f2, mask = get_sphere_intersection(rays_o, rays_d, r=1.0)
+        assert bool(mask[0, 0])
+        assert np.allclose(np.asarray(n2), 3.0, atol=1e-5)
+        assert np.allclose(np.asarray(f2), 5.0, atol=1e-5)
+
+    def test_dvals_from_radius(self):
+        rays_o = jnp.array([[0.0, 0.0, -4.0]])
+        rays_d = jnp.array([[0.0, 0.0, 1.0]])
+        rs = jnp.array([[5.0, 10.0]])
+        d = get_dvals_from_radius(rays_o, rays_d, rs)
+        # |(0,0,-4) + d*(0,0,1)| == r  =>  d = 4 + r (far end, on-axis)
+        np.testing.assert_allclose(np.asarray(d), [[9.0, 14.0]], rtol=1e-5)
+
+
+class TestSampling:
+    def test_searchsorted_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        a = np.sort(rng.rand(4, 16), axis=-1)
+        v = rng.rand(4, 7)
+        got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v)))
+        want = np.stack([np.searchsorted(a[i], v[i], side="left") for i in range(4)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_sample_pdf_det_concentrates_mass(self):
+        bins = jnp.linspace(0.0, 1.0, 11)[None]  # [1, 11]
+        weights = jnp.zeros((1, 10)).at[0, 4].set(1.0)  # all mass in [0.4, 0.5]
+        samples = sample_pdf(None, bins, weights, 100, det=True)
+        frac_inside = np.mean((np.asarray(samples) >= 0.4) & (np.asarray(samples) <= 0.5))
+        assert frac_inside > 0.95
+
+    def test_sample_pdf_uniform_weights_roughly_uniform(self):
+        key = jax.random.PRNGKey(1)
+        bins = jnp.linspace(0.0, 1.0, 65)[None].repeat(8, 0)
+        weights = jnp.ones((8, 64))
+        samples = np.asarray(sample_pdf(key, bins, weights, 256))
+        assert samples.min() >= 0.0 and samples.max() <= 1.0
+        assert abs(samples.mean() - 0.5) < 0.05
+
+    def test_sample_cdf_inverts_known_cdf(self):
+        # cdf of U[0,1] restricted to bins -> sampling should reproduce uniform
+        bins = jnp.linspace(0.0, 2.0, 21)[None]
+        cdf = jnp.linspace(0.05, 1.0, 20)[None]  # len(bins)-1, monotone
+        samples = np.asarray(sample_cdf(None, bins, cdf, 50, det=True))
+        assert samples.min() >= 0.0 and samples.max() <= 2.0
+        assert np.all(np.diff(samples[0]) >= -1e-6)
+
+    def test_sample_pdf_is_sorted_under_det(self):
+        bins = jnp.linspace(0.0, 1.0, 33)[None]
+        w = jax.random.uniform(jax.random.PRNGKey(3), (1, 32))
+        s = np.asarray(sample_pdf(None, bins, w, 64, det=True))
+        assert np.all(np.diff(s[0]) >= -1e-6)
+
+
+class TestCamera:
+    def test_load_K_Rt_roundtrip(self):
+        rng = np.random.RandomState(7)
+        K = np.array([[420.0, 2.5, 310.0], [0.0, 415.0, 250.0], [0.0, 0.0, 1.0]])
+        # random-ish rotation via quaternion
+        q = rng.randn(4); q[0] = abs(q[0]) + 2.0
+        R = quat_to_rot(q[None])[0]
+        C = rng.randn(3)
+        w2c_t = -R.T @ C
+        P = K @ np.concatenate([R.T, w2c_t[:, None]], axis=1)
+
+        intr, pose = load_K_Rt_from_P(P)
+        np.testing.assert_allclose(intr[:3, :3], K, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(pose[:3, :3], R, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(pose[:3, 3], C, rtol=1e-4, atol=1e-5)
+
+    def test_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.RandomState(3)
+        for _ in range(5):
+            K = np.diag([rng.uniform(300, 600), rng.uniform(300, 600), 1.0])
+            K[0, 2], K[1, 2] = rng.uniform(100, 400), rng.uniform(100, 400)
+            q = rng.randn(4); q[0] = abs(q[0]) + 1.5
+            R = quat_to_rot(q[None])[0]
+            t = rng.randn(3)
+            P = K @ np.concatenate([R, t[:, None]], axis=1)
+
+            out = cv2.decomposeProjectionMatrix(P)
+            K_cv = out[0] / out[0][2, 2]
+            R_cv, t_cv = out[1], out[2]
+            C_cv = (t_cv[:3] / t_cv[3])[:, 0]
+
+            intr, pose = load_K_Rt_from_P(P)
+            np.testing.assert_allclose(intr[:3, :3], K_cv, rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(pose[:3, :3], R_cv.T, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(pose[:3, 3], C_cv, rtol=1e-4, atol=1e-4)
+
+    def test_quat_roundtrip(self):
+        rng = np.random.RandomState(11)
+        q = rng.randn(6, 4)
+        q[:, 0] = np.abs(q[:, 0]) + 1.5
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        R = quat_to_rot(q)
+        q2 = rot_to_quat(R)
+        np.testing.assert_allclose(q, q2, rtol=1e-5, atol=1e-6)
+
+
+class TestConfig:
+    def test_strict_dict(self):
+        from neurecon_tpu.config import ConfigDict
+        c = ConfigDict({"a": {"b": 1}})
+        assert c.a.b == 1
+        with pytest.raises(KeyError):
+            _ = c.a["missing"]
+        with pytest.raises(AttributeError):
+            _ = c.a.missing
+        assert c.a.setdefault("b", 99) == 1
+        assert c.a.setdefault("c", 7) == 7 and c.a.c == 7
+
+    def test_cli_override_coercion(self):
+        from neurecon_tpu.config import ConfigDict, update_config
+        c = ConfigDict({"data": {"N_rays": 512, "flag": True}, "expname": "x"})
+        update_config(c, ["--data:N_rays", "1024", "--data:flag", "false",
+                          "--expname", "y"])
+        assert c.data.N_rays == 1024 and c.data.flag is False and c.expname == "y"
+
+    def test_yaml_roundtrip(self, tmp_path):
+        from neurecon_tpu.config import ConfigDict, load_yaml, save_config
+        c = ConfigDict({"expname": "t", "training": {"lr": 5e-4, "ckpt_file": "x",
+                                                     "exp_dir": "/tmp/x"},
+                        "model": {"framework": "NeuS"}})
+        p = str(tmp_path / "c.yaml")
+        save_config(c, p)
+        c2 = load_yaml(p)
+        assert c2.model.framework == "NeuS"
+        assert c2.training.ckpt_file is None
+        assert "exp_dir" not in c2.training
