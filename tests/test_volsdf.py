@@ -1,0 +1,248 @@
+"""VolSDF tests — including the 1-D closed-form oracle that replaces the
+reference's manual debug_tools/test_volsdf_algo.py validation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurecon_tpu.config import ConfigDict
+from neurecon_tpu.models.frameworks.volsdf import (
+    VolSDF,
+    error_bound,
+    fine_sample,
+    get_model,
+    make_trainer,
+    make_volume_render_fn,
+    sdf_to_sigma,
+)
+
+
+# ---------------------------------------------------------------------------
+# 1-D closed-form oracle: a ray through an exact sphere SDF
+# ---------------------------------------------------------------------------
+SPHERE_C = np.array([0.0, 0.0, 3.0])
+SPHERE_R = 1.0
+
+
+def sphere_sdf(pts):
+    return jnp.linalg.norm(pts - SPHERE_C, axis=-1) - SPHERE_R
+
+
+def true_opacity_at(ts, alpha, beta, n_dense=20000, t_max=8.0):
+    """Ground-truth O(t) = 1 - exp(-∫σ) on a dense grid, sampled at ts."""
+    dense_t = np.linspace(0.0, t_max, n_dense)
+    sdf = np.abs(dense_t - SPHERE_C[2]) - SPHERE_R  # ray along +z from origin
+    exp = 0.5 * np.exp(-np.abs(sdf) / beta)
+    psi = np.where(sdf >= 0, exp, 1 - exp)
+    sigma = alpha * psi
+    dt = dense_t[1] - dense_t[0]
+    R = np.concatenate([[0.0], np.cumsum(0.5 * (sigma[1:] + sigma[:-1]) * dt)])
+    O = 1 - np.exp(-R)
+    return np.interp(ts, dense_t, O)
+
+
+class TestSdfToSigma:
+    def test_laplace_cdf_properties(self):
+        alpha, beta = 10.0, 0.1
+        s = np.asarray(sdf_to_sigma(jnp.array([0.0]), alpha, beta))
+        np.testing.assert_allclose(s, alpha / 2, rtol=1e-6)
+        far_in = float(sdf_to_sigma(jnp.array([-10.0 * beta]), alpha, beta)[0])
+        far_out = float(sdf_to_sigma(jnp.array([10.0 * beta]), alpha, beta)[0])
+        assert abs(far_in - alpha) < 1e-3 * alpha
+        assert far_out < 1e-3 * alpha
+
+    def test_error_bound_holds_on_closed_form_sdf(self):
+        """The §3.3 bound must dominate the true opacity-approximation error
+        for a genuine (1-Lipschitz) SDF."""
+        beta = 0.25
+        alpha = 1.0 / beta
+        N = 64
+        d_vals = jnp.linspace(0.0, 6.0, N)[None]
+        rays_o = jnp.zeros((1, 3))
+        rays_d = jnp.array([[0.0, 0.0, 1.0]])
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * d_vals[..., None]
+        sdf = sphere_sdf(pts)
+
+        bounds = np.asarray(error_bound(d_vals, sdf, alpha, beta))[0]
+
+        # approx opacity at the interval-end sample points
+        sigma = np.asarray(sdf_to_sigma(sdf, alpha, beta))[0]
+        delta = np.diff(np.asarray(d_vals)[0])
+        R = np.cumsum(sigma[:-1] * delta)
+        O_hat = 1 - np.exp(-R)  # at d_vals[1:]
+        O_true = true_opacity_at(np.asarray(d_vals)[0][1:], alpha, beta)
+
+        err = np.abs(O_true - O_hat)
+        assert np.all(err <= bounds + 1e-3), float((err - bounds).max())
+        # and the bound must be non-vacuous somewhere (finite, informative)
+        assert np.isfinite(bounds).all() and bounds.max() > 1e-4
+
+    def test_error_bound_shrinks_with_denser_sampling(self):
+        beta = 0.25
+        alpha = 1.0 / beta
+        rays_o = jnp.zeros((1, 3)); rays_d = jnp.array([[0.0, 0.0, 1.0]])
+
+        def max_bound(N):
+            d = jnp.linspace(0.0, 6.0, N)[None]
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * d[..., None]
+            return float(jnp.max(error_bound(d, sphere_sdf(pts), alpha, beta)))
+
+        assert max_bound(256) < max_bound(64) < max_bound(16)
+
+
+class TestFineSample:
+    def test_converges_and_concentrates(self):
+        beta_net = 0.1
+        alpha_net = 1.0 / beta_net
+        N_init = 128
+        rays_o = jnp.zeros((4, 3))
+        rays_d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (4, 3))
+        far = jnp.full((4, 1), 6.0)
+        d_init = jnp.broadcast_to(jnp.linspace(0.0, 6.0, N_init), (4, N_init))
+
+        d_fine, beta_map, iter_usage = fine_sample(
+            sphere_sdf, d_init, rays_o, rays_d, alpha_net, beta_net, far,
+            key=jax.random.PRNGKey(0), eps=0.1, max_iter=5, max_bisection=10,
+            final_N_importance=64, N_up=128, perturb=False)
+
+        assert d_fine.shape == (4, 64)
+        iu = np.asarray(iter_usage)
+        assert np.all(iu >= 0), iu  # all rays converge on an exact SDF
+        # converged rays report the network beta
+        np.testing.assert_allclose(np.asarray(beta_map), beta_net, rtol=1e-6)
+        # samples concentrate where opacity rises (sphere entry at depth 2)
+        frac_near = np.mean((np.asarray(d_fine) > 1.0) & (np.asarray(d_fine) < 3.5))
+        assert frac_near > 0.8, frac_near
+        assert np.all(np.diff(np.asarray(d_fine), axis=-1) >= -1e-5)
+
+    def test_hard_beta_requires_iterations(self):
+        """A very sharp beta_net with a sparse init forces the loop to iterate
+        (or to report not-converged) — exercises the masked bookkeeping."""
+        beta_net = 0.003
+        alpha_net = 1.0 / beta_net
+        N_init = 32
+        rays_o = jnp.zeros((2, 3))
+        rays_d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (2, 3))
+        far = jnp.full((2, 1), 6.0)
+        d_init = jnp.broadcast_to(jnp.linspace(0.0, 6.0, N_init), (2, N_init))
+
+        d_fine, beta_map, iter_usage = fine_sample(
+            sphere_sdf, d_init, rays_o, rays_d, alpha_net, beta_net, far,
+            key=jax.random.PRNGKey(0), eps=0.01, max_iter=3, max_bisection=10,
+            final_N_importance=32, N_up=64, perturb=False)
+        iu = np.asarray(iter_usage)
+        assert np.all(iu != 0)  # must not converge instantly
+        assert np.all(np.isfinite(np.asarray(d_fine)))
+        # unconverged rays report beta+ > beta_net
+        bm = np.asarray(beta_map)
+        assert np.all(bm[iu == -1] > beta_net)
+
+
+def tiny_model(**over):
+    cfg = dict(beta_init=0.1, speed_factor=10.0, W_geo_feat=64,
+               obj_bounding_radius=3.0,
+               surface_cfg=dict(W=64, D=4, skips=[2], embed_multires=4,
+                                radius_init=1.0),
+               radiance_cfg=dict(W=64, D=2, skips=[], embed_multires=-1,
+                                 embed_multires_view=2))
+    cfg.update(over)
+    return VolSDF(**cfg)
+
+
+RENDER_SMALL = dict(near=0.0, far=6.0, N_samples=24, N_importance=16,
+                    max_upsample_steps=2, fine_sample_mul=1,
+                    obj_bounding_radius=3.0)
+
+
+class TestRender:
+    def test_shapes_finite_and_sphere_bg(self):
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        render = make_volume_render_fn(model, perturb=True, calc_normal=True,
+                                       detailed_output=True, **RENDER_SMALL)
+        rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (8, 3))
+        rays_d = jnp.stack([jax.random.normal(jax.random.PRNGKey(1), (8,)) * 0.15,
+                            jax.random.normal(jax.random.PRNGKey(2), (8,)) * 0.15,
+                            jnp.ones((8,))], -1)
+        rgb, depth, extras = jax.jit(render)(params, rays_o, rays_d,
+                                             jax.random.PRNGKey(3))
+        assert rgb.shape == (8, 3)
+        assert extras["beta_map"].shape == (8,)
+        assert extras["iter_usage"].shape == (8,)
+        for k, v in extras.items():
+            if isinstance(v, jnp.ndarray):
+                assert np.all(np.isfinite(np.asarray(v))), k
+        # sphere background: sdf capped by r - |x|
+        far_pts = jnp.array([[0.0, 0.0, 10.0]])
+        sdf_bg = float(model.forward_surface(params, far_pts)[0])
+        assert abs(sdf_bg - (3.0 - 10.0)) < 0.5
+
+    def test_nerfpp_variant(self):
+        model = tiny_model(use_nerfplusplus=True)
+        params = model.init(jax.random.PRNGKey(0))
+        render = make_volume_render_fn(model, perturb=False, use_nerfplusplus=True,
+                                       N_outside=8, detailed_output=True,
+                                       **{k: v for k, v in RENDER_SMALL.items()})
+        rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.5]), (4, 3))
+        rays_d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (4, 3))
+        rgb, depth, extras = render(params, rays_o, rays_d, jax.random.PRNGKey(1))
+        assert extras["sigma_out"] is not None
+        assert np.all(np.isfinite(np.asarray(rgb)))
+
+
+class TestTraining:
+    def test_overfit_synthetic(self):
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.base import make_optimizer
+        from neurecon_tpu.training import init_train_state, make_train_step
+
+        H, W = 48, 64
+        scene = make_synthetic_scene(n_images=6, H=H, W=W, radius=0.8,
+                                     cam_radius=2.6)
+        args = ConfigDict({
+            "data": {"N_rays": 64, "val_rayschunk": 128},
+            "model": {"framework": "VolSDF", "obj_bounding_radius": 3.0},
+            "training": {"w_eikonal": 0.1, "lr": 5e-4, "num_iters": 300,
+                         "speed_factor": 10.0,
+                         "scheduler": {"type": "exponential_step",
+                                       "min_factor": 0.1}},
+        })
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        loss_fn = make_trainer(model, args, {"H": H, "W": W, "perturb": True,
+                                             **RENDER_SMALL})
+        optimizer = make_optimizer(args, params)
+        state = init_train_state(params, optimizer)
+        step_fn = make_train_step(loss_fn, optimizer)
+
+        key = jax.random.PRNGKey(7)
+        first, last = None, None
+        for it in range(150):
+            key, sub = jax.random.split(key)
+            img = it % 6
+            batch = {"c2w": scene["c2w"][img][None],
+                     "intrinsics": scene["intrinsics"][img][None],
+                     "rgb": scene["rgb"][img][None]}
+            state, metrics = step_fn(state, batch, sub)
+            if it == 0:
+                first = jax.tree_util.tree_map(float, metrics["losses"])
+            last = jax.tree_util.tree_map(float, metrics["losses"])
+        assert np.isfinite(last["total"])
+        assert last["loss_img"] < 0.75 * first["loss_img"], (first, last)
+
+    def test_get_model_dispatch(self):
+        args = ConfigDict({
+            "data": {"N_rays": 32, "val_rayschunk": 64, "near": 0.0, "far": 6.0,
+                     "downscale": 1},
+            "model": {"framework": "VolSDF", "obj_bounding_radius": 3.0,
+                      "W_geometry_feature": 32,
+                      "surface": {"D": 2, "W": 32, "skips": [], "embed_multires": 2},
+                      "radiance": {"D": 1, "W": 32, "skips": []}},
+            "training": {"w_eikonal": 0.1, "speed_factor": 10.0},
+        })
+        from neurecon_tpu.models.frameworks import get_model as dispatch
+        model, trainer_factory, kw_train, kw_test, render_factory = dispatch(args)
+        params = model.init(jax.random.PRNGKey(0))
+        assert "ln_beta" in params
+        a, b = model.forward_ab(params)
+        np.testing.assert_allclose(float(b), 0.1, rtol=1e-5)
+        np.testing.assert_allclose(float(a), 10.0, rtol=1e-5)
