@@ -14,7 +14,7 @@ def get_data(args, return_val: bool = False, val_downscale: float = 4.0):
     if dataset_type == "DTU":
         from neurecon_tpu.dataio.dtu import SceneDataset
         cfgs["cam_file"] = args.data.get("cam_file", None)
-    elif dataset_type == "blended_mvs":
+    elif dataset_type in ("BlendedMVS", "blended_mvs"):
         from neurecon_tpu.dataio.blendedmvs import SceneDataset
     elif dataset_type == "custom":
         from neurecon_tpu.dataio.custom import SceneDataset

@@ -14,3 +14,18 @@ def get_model(args):
         return unisurf.get_model(args)
     else:
         raise NotImplementedError(framework)
+
+
+def get_ray_loss_fn(args, model, render_kwargs_train):
+    """Per-framework ray-batch loss (the shardable inner loss) — used by the
+    multi-chip training path."""
+    framework = args.model.framework
+    if framework == "NeuS":
+        from neurecon_tpu.models.frameworks.neus import make_ray_loss_fn
+    elif framework == "VolSDF":
+        from neurecon_tpu.models.frameworks.volsdf import make_ray_loss_fn
+    elif framework == "UNISURF":
+        from neurecon_tpu.models.frameworks.unisurf import make_ray_loss_fn
+    else:
+        raise NotImplementedError(framework)
+    return make_ray_loss_fn(model, args, render_kwargs_train)

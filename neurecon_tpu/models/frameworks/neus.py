@@ -368,17 +368,9 @@ def compute_losses(model: NeuS, params, rays_o, rays_d, target_rgb, key, *,
     return total, (losses, extras)
 
 
-def make_trainer(model: NeuS, args, render_kwargs_train: dict):
-    """Returns loss_fn(params, batch, key, it) -> (total, (losses, extras)).
-
-    batch: {'c2w' [B,4,4], 'intrinsics' [B,4,4], 'rgb' [B,H*W,3],
-            'object_mask' [B,H*W] (optional), 'mask_ignore' [B,H*W] (optional)}.
-    Pixel selection happens on device with the folded key.
-    """
-    from neurecon_tpu.ops import get_rays
-
-    H, W = render_kwargs_train["H"], render_kwargs_train["W"]
-    N_rays = args.data.N_rays
+def make_ray_loss_fn(model: NeuS, args, render_kwargs_train: dict):
+    """ray_loss(params, ray_batch, key, it) — per-ray loss, shardable over the
+    ray axis (ray_batch from training.sample_ray_batch)."""
     with_mask = bool(args.training.with_mask)
     w_mask = float(args.training.setdefault("w_mask", 0.0))
     w_eikonal = float(args.training.w_eikonal)
@@ -386,21 +378,33 @@ def make_trainer(model: NeuS, args, render_kwargs_train: dict):
         model, detailed_output=True, **{k: v for k, v in render_kwargs_train.items()
                                         if k not in ("H", "W")})
 
+    def ray_loss(params, rb, key, it):
+        return compute_losses(
+            model, params, rb["rays_o"], rb["rays_d"], rb["target_rgb"], key,
+            render_fn=render_fn, w_eikonal=w_eikonal, with_mask=with_mask,
+            w_mask=w_mask, target_mask=rb.get("target_mask"),
+            mask_ignore=rb.get("mask_ignore"))
+
+    return ray_loss
+
+
+def make_trainer(model: NeuS, args, render_kwargs_train: dict):
+    """Returns loss_fn(params, batch, key, it) -> (total, (losses, extras)).
+
+    batch: {'c2w' [B,4,4], 'intrinsics' [B,4,4], 'rgb' [B,H*W,3],
+            'object_mask' [B,H*W] (optional), 'mask_ignore' [B,H*W] (optional)}.
+    Pixel selection happens on device with the folded key.
+    """
+    from neurecon_tpu.training import sample_ray_batch
+
+    H, W = render_kwargs_train["H"], render_kwargs_train["W"]
+    N_rays = args.data.N_rays
+    ray_loss = make_ray_loss_fn(model, args, render_kwargs_train)
+
     def loss_fn(params, batch, key, it):
         k_rays, k_render = jax.random.split(key)
-        rays_o, rays_d, select_inds = get_rays(
-            k_rays, batch["c2w"], batch["intrinsics"], H, W, N_rays=N_rays)
-        target_rgb = jnp.take_along_axis(batch["rgb"], select_inds[..., None], axis=-2)
-        target_mask = None
-        if with_mask:
-            target_mask = jnp.take_along_axis(batch["object_mask"], select_inds, axis=-1)
-        mask_ignore = None
-        if "mask_ignore" in batch:
-            mask_ignore = jnp.take_along_axis(batch["mask_ignore"], select_inds, axis=-1)
-        return compute_losses(
-            model, params, rays_o, rays_d, target_rgb, k_render,
-            render_fn=render_fn, w_eikonal=w_eikonal, with_mask=with_mask,
-            w_mask=w_mask, target_mask=target_mask, mask_ignore=mask_ignore)
+        rb = sample_ray_batch(k_rays, batch, H, W, N_rays)
+        return ray_loss(params, rb, k_render, it)
 
     return loss_fn
 

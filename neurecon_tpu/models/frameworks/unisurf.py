@@ -159,7 +159,9 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])
 
-    ret = {"rgb": rgb_map, "depth_volume": depth_map, "mask_volume": acc_map}
+    ret = {"rgb": rgb_map, "depth_volume": depth_map, "mask_volume": acc_map,
+           # per-ray surface diagnostics (cheap, used by validation images)
+           "mask_surface": mask, "depth_surface": d_pred_out}
     if calc_normal:
         normals_map = nablas / (jnp.linalg.norm(nablas, axis=-1, keepdims=True) + 1e-10)
         P = min(visibility_weights.shape[-1], normals_map.shape[-2])
@@ -167,8 +169,6 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
             normals_map[..., :P, :] * visibility_weights[..., :P, None], axis=-2)
     if detailed_output:
         ret["surface_points"] = pt_pred
-        ret["mask_surface"] = mask
-        ret["depth_surface"] = d_pred_out
         ret["radiance"] = radiances
         ret["implicit_surface"] = logits
         ret["implicit_nablas"] = nablas
@@ -193,11 +193,8 @@ def make_volume_render_fn(model: UNISURF, default_interval: float = 0.1,
     return render
 
 
-def make_trainer(model: UNISURF, args, render_kwargs_train: dict):
-    from neurecon_tpu.ops import get_rays
-
-    H, W = render_kwargs_train["H"], render_kwargs_train["W"]
-    N_rays = args.data.N_rays
+def make_ray_loss_fn(model: UNISURF, args, render_kwargs_train: dict):
+    """ray_loss(params, ray_batch, key, it) — shardable over the ray axis."""
     w_reg = float(args.training.setdefault("w_reg", 0.0))
     perturb_surface_pts = float(args.training.setdefault("perturb_surface_pts", 0.01))
     delta_max = float(args.training.delta_max)
@@ -207,20 +204,17 @@ def make_trainer(model: UNISURF, args, render_kwargs_train: dict):
         model, detailed_output=True,
         **{k: v for k, v in render_kwargs_train.items() if k not in ("H", "W")})
 
-    def loss_fn(params, batch, key, it):
-        k_rays, k_render, k_reg = jax.random.split(key, 3)
-        rays_o, rays_d, select_inds = get_rays(
-            k_rays, batch["c2w"], batch["intrinsics"], H, W, N_rays=N_rays)
-        target_rgb = jnp.take_along_axis(batch["rgb"], select_inds[..., None],
-                                         axis=-2)
+    def ray_loss(params, rb, key, it):
+        k_render, k_reg = jax.random.split(key)
+        target_rgb = rb["target_rgb"]
 
         # shrinking sampling interval (traced — `it` is a device scalar)
         interval = jnp.maximum(
             delta_max * jnp.exp(-jnp.asarray(it, jnp.float32) * delta_beta),
             delta_min)
 
-        rgb, depth_v, extras = render_fn(params, rays_o, rays_d, k_render,
-                                         interval=interval)
+        rgb, depth_v, extras = render_fn(params, rb["rays_o"], rb["rays_d"],
+                                         k_render, interval=interval)
         losses = {}
         losses["loss_img"] = jnp.mean(jnp.abs(rgb - target_rgb))
 
@@ -244,6 +238,21 @@ def make_trainer(model: UNISURF, args, render_kwargs_train: dict):
         losses["total"] = total
         extras["scalars"] = {"interval": interval}
         return total, (losses, extras)
+
+    return ray_loss
+
+
+def make_trainer(model: UNISURF, args, render_kwargs_train: dict):
+    from neurecon_tpu.training import sample_ray_batch
+
+    H, W = render_kwargs_train["H"], render_kwargs_train["W"]
+    N_rays = args.data.N_rays
+    ray_loss = make_ray_loss_fn(model, args, render_kwargs_train)
+
+    def loss_fn(params, batch, key, it):
+        k_rays, k_render = jax.random.split(key)
+        rb = sample_ray_batch(k_rays, batch, H, W, N_rays)
+        return ray_loss(params, rb, k_render, it)
 
     return loss_fn
 

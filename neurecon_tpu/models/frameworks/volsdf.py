@@ -337,6 +337,9 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
         "rgb": rgb_map,
         "depth_volume": depth_map,
         "mask_volume": acc_map,
+        # per-ray diagnostics (cheap): β heat-map + upsample iteration usage
+        "beta_map": beta_map,
+        "iter_usage": iter_usage,
     }
     if calc_normal:
         normals_map = nablas / (jnp.linalg.norm(nablas, axis=-1, keepdims=True) + 1e-10)
@@ -352,8 +355,6 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
         ret["visibility_weights"] = tau_i
         ret["d_vals"] = d_all
         ret["sigma"] = sigma
-        ret["beta_map"] = beta_map
-        ret["iter_usage"] = iter_usage
         if use_nerfplusplus:
             ret["sigma_out"] = sigma_out
             ret["radiance_out"] = radiance_out
@@ -373,30 +374,22 @@ def make_volume_render_fn(model: VolSDF, **render_kwargs):
     return render
 
 
-def make_trainer(model: VolSDF, args, render_kwargs_train: dict):
-    """loss_fn(params, batch, key, it) per ref volsdf.py:572-644."""
-    from neurecon_tpu.ops import get_rays
-
-    H, W = render_kwargs_train["H"], render_kwargs_train["W"]
-    N_rays = args.data.N_rays
+def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
+    """ray_loss(params, ray_batch, key, it) per ref volsdf.py:572-644 —
+    shardable over the ray axis."""
     w_eikonal = float(args.training.w_eikonal)
     eik_bounding_box = float(args.model.obj_bounding_radius)
     render_fn = make_volume_render_fn(
         model, detailed_output=True,
         **{k: v for k, v in render_kwargs_train.items() if k not in ("H", "W")})
 
-    def loss_fn(params, batch, key, it):
-        k_rays, k_render, k_eik = jax.random.split(key, 3)
-        rays_o, rays_d, select_inds = get_rays(
-            k_rays, batch["c2w"], batch["intrinsics"], H, W, N_rays=N_rays)
-        target_rgb = jnp.take_along_axis(batch["rgb"], select_inds[..., None],
-                                         axis=-2)
-        mask_ignore = None
-        if "mask_ignore" in batch:
-            mask_ignore = jnp.take_along_axis(batch["mask_ignore"], select_inds,
-                                              axis=-1)
+    def ray_loss(params, rb, key, it):
+        k_render, k_eik = jax.random.split(key)
+        target_rgb = rb["target_rgb"]
+        mask_ignore = rb.get("mask_ignore")
 
-        rgb, depth_v, extras = render_fn(params, rays_o, rays_d, k_render)
+        rgb, depth_v, extras = render_fn(params, rb["rays_o"], rb["rays_d"],
+                                         k_render)
 
         nablas = extras["implicit_nablas"]  # [..., N_rays, P, 3]
         # single max-visibility surface point per ray (§3.5 of the paper)
@@ -427,6 +420,21 @@ def make_trainer(model: VolSDF, args, render_kwargs_train: dict):
         alpha, beta = model.forward_ab(params)
         extras["scalars"] = {"beta": beta, "alpha": alpha}
         return total, (losses, extras)
+
+    return ray_loss
+
+
+def make_trainer(model: VolSDF, args, render_kwargs_train: dict):
+    from neurecon_tpu.training import sample_ray_batch
+
+    H, W = render_kwargs_train["H"], render_kwargs_train["W"]
+    N_rays = args.data.N_rays
+    ray_loss = make_ray_loss_fn(model, args, render_kwargs_train)
+
+    def loss_fn(params, batch, key, it):
+        k_rays, k_render = jax.random.split(key)
+        rb = sample_ray_batch(k_rays, batch, H, W, N_rays)
+        return ray_loss(params, rb, k_render, it)
 
     return loss_fn
 

@@ -1,0 +1,281 @@
+"""Training entry point: `python -m neurecon_tpu.train --config configs/neus.yaml`.
+
+Mirrors the reference loop (train.py:24-285) with a TPU-native body:
+  * whole dataset preloaded to device HBM once; per-step image selection,
+    pixel sampling, rendering, loss, grads and adam all inside one compiled
+    step (zero per-step host work beyond dispatch)
+  * multi-device: rays sharded over a 1-D mesh, params replicated, gradient
+    psum by XLA (replaces DataParallel/DDP/SLURM, utils/dist_util.py)
+  * periodic: full-image validation renders (chunked jitted renderer),
+    marching-tetrahedra mesh extraction, time-based `latest` checkpoints,
+    iteration-based numbered backups, KeyboardInterrupt save
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurecon_tpu import config as config_lib
+from neurecon_tpu.dataio import get_data
+from neurecon_tpu.models.base import count_parameters, make_optimizer
+from neurecon_tpu.models.frameworks import get_model, get_ray_loss_fn
+from neurecon_tpu.ops import get_rays, lin2img
+from neurecon_tpu.training import (TrainState, init_train_state, make_train_step,
+                                   render_full_image, sample_ray_batch)
+from neurecon_tpu.utils import io as io_util
+from neurecon_tpu.utils.checkpoints import CheckpointIO
+from neurecon_tpu.utils.console import log
+from neurecon_tpu.utils.logger import Logger
+from neurecon_tpu.utils.mesh import extract_mesh
+
+
+def _dataset_to_device(dataset):
+    data = {
+        "c2w": jnp.asarray(dataset.c2w_all),
+        "intrinsics": jnp.asarray(dataset.intrinsics_all),
+        "rgb": jnp.asarray(dataset.rgb_images),
+    }
+    if getattr(dataset, "object_masks", None) is not None:
+        data["object_mask"] = jnp.asarray(dataset.object_masks)
+    if getattr(dataset, "masks_ignore", None) is not None:
+        data["mask_ignore"] = jnp.asarray(dataset.masks_ignore)
+    return data
+
+
+def _slice_image(data, idx):
+    return {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+            for k, v in data.items()}
+
+
+def main_function(args):
+    exp_dir = args.training.exp_dir
+    mesh_dir = os.path.join(exp_dir, "meshes")
+    io_util.cond_mkdir(exp_dir)
+
+    logger = Logger(log_dir=exp_dir,
+                    img_dir=os.path.join(exp_dir, "imgs"),
+                    monitoring=args.training.get("monitoring", "tensorboard"),
+                    monitoring_dir=os.path.join(exp_dir, "events"))
+    log.info(f"=> Experiments dir: {exp_dir}")
+
+    io_util.backup(os.path.join(exp_dir, "backup"))
+    config_lib.save_config(args, os.path.join(exp_dir, "config.yaml"))
+
+    dataset, val_dataset = get_data(args, return_val=True,
+                                    val_downscale=args.data.get("val_downscale", 4.0))
+
+    model, trainer_factory, render_kwargs_train, render_kwargs_test, \
+        render_factory = get_model(args)
+    render_kwargs_train["H"], render_kwargs_train["W"] = dataset.H, dataset.W
+    render_kwargs_test["H"], render_kwargs_test["W"] = val_dataset.H, val_dataset.W
+
+    seed = int(args.get("seed", 42))
+    root_key = jax.random.PRNGKey(seed)
+    init_key, train_key = jax.random.split(root_key)
+    params = model.init(init_key)
+    log.info(f"=> Model params: {count_parameters(params)}")
+
+    optimizer = make_optimizer(args, params)
+
+    # ---- checkpoints ----
+    checkpoint_io = CheckpointIO(checkpoint_dir=os.path.join(exp_dir, "ckpts"))
+    load_dict = checkpoint_io.load_file(
+        args.training.get("ckpt_file", None),
+        ignore_keys=args.training.get("ckpt_ignore_keys", []),
+        only_use_keys=args.training.get("ckpt_only_use_keys", None))
+    logger.load_stats("stats.p")
+    it = int(load_dict.get("global_step", 0))
+    epoch_idx = int(load_dict.get("epoch_idx", 0))
+    if "model" in load_dict:
+        params.update(load_dict["model"])
+    opt_state = load_dict.get("opt_state", None) or optimizer.init(params)
+
+    # ---- SIREN sphere pretrain (must come after checkpoint load) ----
+    surf_mod = model.implicit_surface
+    if (surf_mod.use_siren and surf_mod.geometric_init and it == 0
+            and "model" not in load_dict):
+        from neurecon_tpu.models.base import pretrain_siren_sdf
+        log.info("=> pretraining SIREN sdf to a sphere ...")
+        pre_key = jax.random.fold_in(root_key, 7)
+        new_surf, pre_losses = pretrain_siren_sdf(
+            surf_mod, params["implicit_surface"], pre_key,
+            lr=float(args.training.get("lr_pretrain", 1e-4)),
+            target_radius=surf_mod.radius_init,
+            obj_bounding_size=surf_mod.obj_bounding_size)
+        params["implicit_surface"] = new_surf
+        log.info(f"   pretrain final l1: {float(pre_losses[-1]):.4f}")
+        checkpoint_io.save("latest.pt", global_step=it, epoch_idx=epoch_idx,
+                           model=params, opt_state=opt_state)
+
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.asarray(it, jnp.int32))
+
+    # ---- data to HBM, compiled step ----
+    data_dev = _dataset_to_device(dataset)
+    n_images = int(data_dev["c2w"].shape[0])
+    H, W = dataset.H, dataset.W
+    N_rays = int(args.data.N_rays)
+
+    n_devices = jax.local_device_count()
+    use_sharding = n_devices > 1 and N_rays % n_devices == 0
+    if use_sharding:
+        from neurecon_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                           shard_rays)
+        log.info(f"=> sharding rays over {n_devices} devices")
+        mesh = make_mesh()
+        ray_loss = get_ray_loss_fn(args, model, render_kwargs_train)
+        step_fn = make_sharded_train_step(ray_loss, optimizer, mesh)
+
+        @jax.jit
+        def sample_fn(data, idx, key):
+            return sample_ray_batch(key, _slice_image(data, idx), H, W, N_rays)
+
+        def run_step(state, idx, key):
+            k1, k2 = jax.random.split(key)
+            rb = shard_rays(mesh, sample_fn(data_dev, idx, k1))
+            return step_fn(state, rb, k2)
+    else:
+        loss_fn_img = trainer_factory(render_kwargs_train)
+
+        def loss_fn(params, batch, key, it_):
+            data, idx = batch
+            return loss_fn_img(params, _slice_image(data, idx), key, it_)
+
+        step_fn = make_train_step(loss_fn, optimizer)
+
+        def run_step(state, idx, key):
+            return step_fn(state, (data_dev, idx), key)
+
+    # ---- validation renderer ----
+    val_render_kwargs = {k: v for k, v in render_kwargs_test.items()
+                         if k not in ("H", "W", "rayschunk")}
+    render_fn_test = render_factory(detailed_output=False, calc_normal=True,
+                                    **val_render_kwargs)
+    val_rayschunk = int(args.data.get("val_rayschunk", 4096))
+
+    def do_validation(state, it):
+        val_idx = np.random.randint(len(val_dataset))
+        _, val_in, val_gt = val_dataset[val_idx]
+        Hv, Wv = val_dataset.H, val_dataset.W
+        rays_o, rays_d, _ = get_rays(
+            jax.random.PRNGKey(0), jnp.asarray(val_in["c2w"]),
+            jnp.asarray(val_in["intrinsics"]), Hv, Wv, N_rays=-1)
+        ret = render_full_image(render_fn_test, state.params, rays_o, rays_d,
+                                jax.random.fold_in(train_key, it),
+                                rayschunk=val_rayschunk)
+        to_img = lambda t: np.asarray(lin2img(jnp.asarray(t), Hv, Wv))
+        logger.add_imgs(to_img(val_gt["rgb"].reshape(-1, 3)), "val/gt_rgb", it)
+        logger.add_imgs(to_img(ret["rgb"]), "val/predicted_rgb", it)
+        depth = ret["depth_volume"][..., None]
+        logger.add_imgs(to_img(depth / (depth.max() + 1e-10)),
+                        "val/pred_depth_volume", it)
+        logger.add_imgs(to_img(ret["mask_volume"][..., None]),
+                        "val/pred_mask_volume", it)
+        if "depth_surface" in ret:
+            ds = ret["depth_surface"][..., None]
+            logger.add_imgs(to_img(ds / (ds.max() + 1e-10)),
+                            "val/pred_depth_surface", it)
+        if "mask_surface" in ret:
+            logger.add_imgs(to_img(ret["mask_surface"][..., None].astype(np.float32)),
+                            "val/predicted_mask", it)
+        if "normals_volume" in ret:
+            logger.add_imgs(to_img(ret["normals_volume"] / 2.0 + 0.5),
+                            "val/predicted_normals", it)
+        if "beta_map" in ret:  # VolSDF diagnostics (ref volsdf.py:647-683)
+            bm = ret["beta_map"][..., None]
+            logger.add_imgs(to_img(bm / (bm.max() + 1e-10)), "val/beta_heat_map", it)
+            iu = ret["iter_usage"][..., None].astype(np.float32)
+            iu[iu == -1] = iu.max() + 1
+            logger.add_imgs(to_img(iu / (iu.max() + 1e-10)),
+                            "val/upsample_iters", it)
+
+    def do_mesh(state, it):
+        io_util.cond_mkdir(mesh_dir)
+        surface_fn = lambda x: model.implicit_surface.forward(
+            state.params["implicit_surface"], x)
+        extract_mesh(surface_fn,
+                     volume_size=args.data.get("volume_size", 2.0),
+                     N=int(args.data.get("mesh_N", 256)),
+                     filepath=os.path.join(mesh_dir, f"{it:08d}.ply"))
+
+    # ---- loop ----
+    i_save = args.training.get("i_save", 900)
+    i_backup = int(args.training.get("i_backup", 50000))
+    i_val = int(args.training.get("i_val", 500))
+    i_val_mesh = int(args.training.get("i_val_mesh", 10000))
+    i_log = int(args.training.get("i_log", 20))
+    special_i_val_mesh = [3000, 5000, 7000]
+    num_iters = int(args.training.num_iters)
+
+    log.info(f"=> Start training..., it={it}, in {exp_dir}")
+    t0 = time.time()
+    t_last_log = time.time()
+    perm = np.random.RandomState(seed + epoch_idx).permutation(n_images)
+    perm_pos = 0
+    metrics = None
+    try:
+        while it < num_iters:
+            # ---- validation / mesh ----
+            if i_val > 0 and it % i_val == 0:
+                do_validation(state, it)
+            if (i_val_mesh > 0 and it > 0
+                    and (it % i_val_mesh == 0 or it in special_i_val_mesh)):
+                do_mesh(state, it)
+
+            # ---- one train step ----
+            if perm_pos >= n_images:
+                epoch_idx += 1
+                perm = np.random.RandomState(seed + epoch_idx).permutation(n_images)
+                perm_pos = 0
+            img_idx = int(perm[perm_pos])
+            perm_pos += 1
+            key = jax.random.fold_in(train_key, it)
+            state, metrics = run_step(state, jnp.asarray(img_idx), key)
+            it += 1
+
+            # ---- logging (host fetch only every i_log steps) ----
+            if it % i_log == 0 and metrics is not None:
+                m = jax.tree_util.tree_map(float, metrics)
+                for k, v in m["losses"].items():
+                    logger.add("losses", k, v, it)
+                for k, v in m["grad_norms"].items():
+                    logger.add("grad", k, v, it)
+                for k, v in m.get("scalars", {}).items():
+                    logger.add("scalars", k, v, it)
+                dt = (time.time() - t_last_log) / i_log
+                t_last_log = time.time()
+                logger.add("perf", "sec_per_step", dt, it)
+                log.info(f"it={it} loss={m['losses']['total']:.4f} "
+                         f"({dt * 1000:.0f} ms/step, "
+                         f"{N_rays / max(dt, 1e-9):.0f} rays/s)")
+
+            # ---- checkpointing ----
+            if i_save > 0 and time.time() - t0 > i_save:
+                checkpoint_io.save("latest.pt", global_step=it, epoch_idx=epoch_idx,
+                                   model=state.params, opt_state=state.opt_state)
+                logger.save_stats("stats.p")
+                t0 = time.time()
+            if i_backup > 0 and it % i_backup == 0 and it > 0:
+                checkpoint_io.save(f"{it:08d}.pt", global_step=it,
+                                   epoch_idx=epoch_idx, model=state.params,
+                                   opt_state=state.opt_state)
+    except KeyboardInterrupt:
+        checkpoint_io.save("latest.pt", global_step=it, epoch_idx=epoch_idx,
+                           model=state.params, opt_state=state.opt_state)
+        logger.save_stats("stats.p")
+        sys.exit()
+
+    checkpoint_io.save(f"final_{it:08d}.pt", global_step=it, epoch_idx=epoch_idx,
+                       model=state.params, opt_state=state.opt_state)
+    logger.save_stats("stats.p")
+    log.info("Everything done.")
+
+
+if __name__ == "__main__":
+    config, _args = config_lib.parse_cli()
+    main_function(config)

@@ -20,6 +20,33 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # int32 global step
 
 
+def sample_ray_batch(key, batch, H: int, W: int, N_rays: int):
+    """Select N_rays random pixels from an image batch, on device.
+
+    batch: {'c2w' [B,4,4], 'intrinsics' [B,4,4], 'rgb' [B,H*W,3],
+            optional 'object_mask' / 'mask_ignore' [B,H*W]}.
+    Returns a ray batch: every array has the ray axis at dim 1 — this is the
+    axis the multi-chip path shards over (see neurecon_tpu/parallel).
+    """
+    from neurecon_tpu.ops import get_rays
+
+    rays_o, rays_d, select_inds = get_rays(
+        key, batch["c2w"], batch["intrinsics"], H, W, N_rays=N_rays)
+    rb = {
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "target_rgb": jnp.take_along_axis(batch["rgb"], select_inds[..., None],
+                                          axis=-2),
+    }
+    if "object_mask" in batch:
+        rb["target_mask"] = jnp.take_along_axis(batch["object_mask"], select_inds,
+                                                axis=-1)
+    if "mask_ignore" in batch:
+        rb["mask_ignore"] = jnp.take_along_axis(batch["mask_ignore"], select_inds,
+                                                axis=-1)
+    return rb
+
+
 def grad_norms_by_module(grads) -> Dict[str, jnp.ndarray]:
     """Per-top-level-module global grad norm (ref train_util.py:5-13 logs
     per-module norms every step)."""
@@ -64,3 +91,38 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
 def init_train_state(params, optimizer, step: int = 0) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.asarray(step, jnp.int32))
+
+
+def render_full_image(render_fn, params, rays_o, rays_d, key,
+                      rayschunk: int = 4096, **render_call_kwargs):
+    """Render all rays of an image with a fixed-chunk jitted renderer.
+
+    Replaces the reference's rayschunk host loop (neus.py:385): one compile
+    (static chunk size, last chunk padded), host loop over chunks, numpy
+    concatenation. render_fn: (params, rays_o [N,3], rays_d [N,3], key) ->
+    (rgb, depth, extras).
+    """
+    import numpy as np
+
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    N = rays_o.shape[0]
+    chunked = jax.jit(lambda p, o, d, k: render_fn(p, o, d, k,
+                                                   **render_call_kwargs))
+
+    outs = []
+    for i in range(0, N, rayschunk):
+        o, d = rays_o[i:i + rayschunk], rays_d[i:i + rayschunk]
+        pad = rayschunk - o.shape[0]
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3))], 0)
+            d = jnp.concatenate([d, jnp.ones((pad, 3))], 0)
+        rgb, depth, extras = chunked(params, o, d, key)
+        chunk_out = {"rgb": rgb, "depth_volume": depth}
+        chunk_out.update({k: v for k, v in extras.items()
+                          if k not in ("rgb", "depth_volume")})
+        outs.append(jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:rayschunk - pad] if pad else np.asarray(x),
+            chunk_out))
+
+    return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}

