@@ -417,6 +417,46 @@ class NeRF:
 
 
 # ---------------------------------------------------------------------------
+# ScalarField (small learnable scalar field MLP; ref base.py:456-483)
+# ---------------------------------------------------------------------------
+
+class ScalarField:
+    """ReLU MLP -> scalar, zero-init output layer with constant bias so the
+    field starts at init_val everywhere."""
+
+    def __init__(self, input_ch: int = 3, W: int = 128, D: int = 4,
+                 skips: Sequence[int] = (), init_val: float = -2.0):
+        self.input_ch, self.W, self.D = input_ch, W, D
+        self.skips = tuple(skips)
+        self.init_val = init_val
+        self.dims = [(input_ch, W)]
+        for i in range(D - 1):
+            in_dim = W + input_ch if i in self.skips else W
+            self.dims.append((in_dim, W))
+
+    def init(self, key: jax.Array) -> Params:
+        keys = jax.random.split(key, self.D + 1)
+        layers = []
+        for i, (in_dim, out_dim) in enumerate(self.dims):
+            # kaiming-uniform fan_in relu ≡ U(±sqrt(6/fan_in)), zero bias
+            bound = math.sqrt(6.0 / in_dim)
+            w = jax.random.uniform(keys[i], (out_dim, in_dim), jnp.float32,
+                                   -bound, bound)
+            layers.append({"w": w, "b": jnp.zeros((out_dim,))})
+        out = {"w": jnp.zeros((1, self.W)),
+               "b": jnp.full((1,), self.init_val)}
+        return {"pts_linears": layers, "output_linear": out}
+
+    def forward(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for i in range(self.D):
+            h = jax.nn.relu(apply_linear(params["pts_linears"][i], h))
+            if i in self.skips:
+                h = jnp.concatenate([x, h], axis=-1)
+        return apply_linear(params["output_linear"], h)[..., 0]
+
+
+# ---------------------------------------------------------------------------
 # LR schedules & optimizer factory
 # ---------------------------------------------------------------------------
 

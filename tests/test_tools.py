@@ -1,0 +1,123 @@
+"""Tests for tools: camera paths, mesh eval (Chamfer), PSNR, extract_surface."""
+import numpy as np
+import pytest
+
+from neurecon_tpu.tools.camera_paths import (
+    generate_camera_path,
+    poses_avg,
+    smoothed_motion_interpolation,
+)
+from neurecon_tpu.utils.camera import look_at
+
+
+def ring_poses(n=12, radius=3.0):
+    c2ws = []
+    for k in range(n):
+        th = 2 * np.pi * k / n
+        loc = radius * np.array([np.cos(th), -0.2, np.sin(th)])
+        c2ws.append(look_at(loc, np.zeros(3)))
+    return np.stack(c2ws).astype(np.float32)
+
+
+class TestCameraPaths:
+    def test_smoothed_interpolation_monotone_and_covers_range(self):
+        s = smoothed_motion_interpolation(np.pi / 2, 30)
+        assert np.all(np.diff(s) > 0)
+        assert abs(s[0]) < 1e-9 and abs(s[-1] - np.pi / 2) < 1e-9
+        # accel phase: increasing velocity at the start
+        v = np.diff(s)
+        assert v[0] < v[len(v) // 2]
+
+    @pytest.mark.parametrize("path,inds", [
+        ("spiral", None),
+        ("interpolation", None),
+        ("small_circle", "0,1,2"),
+        ("great_circle", "0,3"),
+        ("spherical_spiral", "0,1,2"),
+    ])
+    def test_all_paths_produce_valid_poses(self, path, inds):
+        c2ws = ring_poses()
+        out = generate_camera_path(path, c2ws, 20, camera_inds=inds or "0,1")
+        assert out.shape[0] >= 20 - 1 and out.shape[-2:] == (4, 4)
+        R = out[:, :3, :3]
+        # rotations orthonormal
+        eye = np.einsum("nij,nkj->nik", R, R)
+        np.testing.assert_allclose(eye, np.eye(3)[None].repeat(len(R), 0),
+                                   atol=1e-5)
+        # cameras look roughly at the origin for circle paths
+        if path in ("small_circle", "great_circle"):
+            fwd = out[:, :3, 2]
+            to_origin = -out[:, :3, 3]
+            to_origin /= np.linalg.norm(to_origin, axis=-1, keepdims=True)
+            cos = (fwd * to_origin).sum(-1)
+            assert np.all(cos > 0.99)
+
+    def test_poses_avg_center(self):
+        c2ws = ring_poses()
+        avg = poses_avg(c2ws)
+        assert np.linalg.norm(avg[:3, 3] - c2ws[:, :3, 3].mean(0)) < 1e-5
+
+
+class TestEvalMesh:
+    def test_chamfer_zero_for_identical(self):
+        from neurecon_tpu.tools.eval_mesh import chamfer_distance, sample_surface
+        from neurecon_tpu.utils.mesh import marching_tetrahedra
+        ax = np.linspace(-1, 1, 24)
+        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+        vals = np.sqrt(x**2 + y**2 + z**2) - 0.6
+        verts, faces = marching_tetrahedra(vals)
+        verts = verts * (2.0 / 23) - 1.0
+        pts_a = sample_surface(verts, faces, 2000, seed=0)
+        pts_b = sample_surface(verts, faces, 2000, seed=1)
+        cd, acc, comp = chamfer_distance(pts_a, pts_b)
+        assert cd < 0.03  # sampling noise only
+
+    def test_chamfer_detects_scale(self):
+        from neurecon_tpu.tools.eval_mesh import chamfer_distance, sample_surface
+        from neurecon_tpu.utils.mesh import marching_tetrahedra
+        ax = np.linspace(-1, 1, 24)
+        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+        vals = np.sqrt(x**2 + y**2 + z**2) - 0.5
+        verts, faces = marching_tetrahedra(vals)
+        verts = verts * (2.0 / 23) - 1.0
+        pts = sample_surface(verts, faces, 2000)
+        cd, *_ = chamfer_distance(pts, pts * 1.4)  # radius 0.5 -> 0.7
+        assert abs(cd - 0.2) < 0.03
+
+
+class TestPSNR:
+    def test_psnr_values(self):
+        from neurecon_tpu.tools.eval_rgb import psnr
+        img = np.random.RandomState(0).rand(32, 32, 3)
+        assert psnr(img, img) > 100
+        noisy = np.clip(img + 0.1, 0, 1)
+        p = psnr(noisy, img)
+        assert 15 < p < 25
+
+
+class TestExtractSurfaceCLI:
+    def test_extract_surface_from_ckpt(self, tmp_path):
+        import pickle
+        import jax
+        from types import SimpleNamespace
+        from neurecon_tpu.models.base import ImplicitSurface
+        from neurecon_tpu.tools.extract_surface import main_function
+        from neurecon_tpu.utils.mesh import read_ply
+
+        surf = ImplicitSurface(W=64, D=3, skips=[], W_geo_feat=32,
+                               embed_multires=4, radius_init=0.5)
+        params = surf.init(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "ckpt.pt")
+        with open(ckpt, "wb") as f:
+            pickle.dump({"model": {"implicit_surface": jax.tree_util.tree_map(
+                np.asarray, params)}}, f)
+
+        out = str(tmp_path / "mesh.ply")
+        args = SimpleNamespace(load_pt=ckpt, config=None, out=out, N=32,
+                               volume_size=2.0, level=0.0, chunk=8192,
+                               D=3, W=64, W_geo_feat=32, skip=-1, init_r=0.5,
+                               embed_multires=4)
+        main_function(args)
+        verts, faces = read_ply(out)
+        assert len(faces) > 100
+        assert abs(np.median(np.linalg.norm(verts, axis=-1)) - 0.5) < 0.12
