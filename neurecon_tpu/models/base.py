@@ -242,6 +242,13 @@ class ImplicitSurface:
         grads, (sdf, h) = jax.grad(scalar_sum, has_aux=True)(x)
         return sdf, grads, h
 
+    def forward_fast(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward-only sdf query through the fused Pallas MLP kernel
+        (keeps activations in VMEM across all layers). For gradient-free
+        contexts only — samplers, ray casting, mesh grids."""
+        from neurecon_tpu.ops.fused_mlp import fused_sdf_forward
+        return fused_sdf_forward(self, params, x)
+
 
 def pretrain_siren_sdf(surface: ImplicitSurface, params: Params, key: jax.Array,
                        num_iters: int = 5000, lr: float = 1.0e-4,
