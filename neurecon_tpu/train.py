@@ -151,6 +151,23 @@ def main_function(args):
         def run_step(state, idx, key):
             return step_fn(state, (data_dev, idx), key)
 
+    # K steps per dispatch: amortizes host/tunnel round-trips. One jitted
+    # lax.scan over K image indices; metrics come from the last step.
+    steps_per_call = int(args.training.get("steps_per_call", 1))
+    if steps_per_call > 1 and not use_sharding:
+        inner_step = make_train_step(loss_fn, optimizer, jit=False)
+
+        @jax.jit
+        def run_block(state, idxs, key):
+            def body(carry, xs):
+                idx, k = xs
+                st, metrics = inner_step(carry, (data_dev, idx), k)
+                return st, metrics
+            keys = jax.random.split(key, idxs.shape[0])
+            state, metrics = jax.lax.scan(body, state, (idxs, keys))
+            last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+            return state, last
+
     # ---- validation renderer ----
     val_render_kwargs = {k: v for k, v in render_kwargs_test.items()
                          if k not in ("H", "W", "rayschunk")}
@@ -212,34 +229,55 @@ def main_function(args):
     special_i_val_mesh = [3000, 5000, 7000]
     num_iters = int(args.training.num_iters)
 
-    log.info(f"=> Start training..., it={it}, in {exp_dir}")
+    K = steps_per_call if (steps_per_call > 1 and not use_sharding) else 1
+    log.info(f"=> Start training..., it={it}, in {exp_dir} "
+             f"({K} steps per dispatch)")
     t0 = time.time()
     t_last_log = time.time()
+    it_last_log = it
     perm = np.random.RandomState(seed + epoch_idx).permutation(n_images)
     perm_pos = 0
     metrics = None
+
+    def _next_multiple(x, m):
+        return ((x // m) + (1 if x % m else 0)) * m if x > 0 else 0
+
+    next_val = _next_multiple(it, i_val) if i_val > 0 else None
+    mesh_its = sorted({m for m in special_i_val_mesh if m > it}
+                      | ({m for m in range(i_val_mesh, num_iters + 1, i_val_mesh)
+                          if m > it} if i_val_mesh > 0 else set()))
+    next_log = it + i_log
     try:
         while it < num_iters:
             # ---- validation / mesh ----
-            if i_val > 0 and it % i_val == 0:
+            if next_val is not None and it >= next_val:
                 do_validation(state, it)
-            if (i_val_mesh > 0 and it > 0
-                    and (it % i_val_mesh == 0 or it in special_i_val_mesh)):
-                do_mesh(state, it)
+                while next_val <= it:
+                    next_val += i_val
+            while mesh_its and it >= mesh_its[0]:
+                do_mesh(state, mesh_its.pop(0))
 
-            # ---- one train step ----
-            if perm_pos >= n_images:
-                epoch_idx += 1
-                perm = np.random.RandomState(seed + epoch_idx).permutation(n_images)
-                perm_pos = 0
-            img_idx = int(perm[perm_pos])
-            perm_pos += 1
+            # ---- K train steps in one dispatch ----
+            K_eff = min(K, num_iters - it)
+            idxs = []
+            for _ in range(K_eff):
+                if perm_pos >= n_images:
+                    epoch_idx += 1
+                    perm = np.random.RandomState(
+                        seed + epoch_idx).permutation(n_images)
+                    perm_pos = 0
+                idxs.append(int(perm[perm_pos]))
+                perm_pos += 1
             key = jax.random.fold_in(train_key, it)
-            state, metrics = run_step(state, jnp.asarray(img_idx), key)
-            it += 1
+            if K_eff > 1:
+                state, metrics = run_block(state, jnp.asarray(idxs), key)
+            else:
+                state, metrics = run_step(state, jnp.asarray(idxs[0]), key)
+            it += K_eff
 
-            # ---- logging (host fetch only every i_log steps) ----
-            if it % i_log == 0 and metrics is not None:
+            # ---- logging (host fetch only every >= i_log steps) ----
+            if it >= next_log and metrics is not None:
+                next_log = it + i_log
                 m = jax.tree_util.tree_map(float, metrics)
                 for k, v in m["losses"].items():
                     logger.add("losses", k, v, it)
@@ -247,8 +285,8 @@ def main_function(args):
                     logger.add("grad", k, v, it)
                 for k, v in m.get("scalars", {}).items():
                     logger.add("scalars", k, v, it)
-                dt = (time.time() - t_last_log) / i_log
-                t_last_log = time.time()
+                dt = (time.time() - t_last_log) / max(it - it_last_log, 1)
+                t_last_log, it_last_log = time.time(), it
                 logger.add("perf", "sec_per_step", dt, it)
                 log.info(f"it={it} loss={m['losses']['total']:.4f} "
                          f"({dt * 1000:.0f} ms/step, "
@@ -260,7 +298,7 @@ def main_function(args):
                                    model=state.params, opt_state=state.opt_state)
                 logger.save_stats("stats.p")
                 t0 = time.time()
-            if i_backup > 0 and it % i_backup == 0 and it > 0:
+            if i_backup > 0 and (it % i_backup) < K_eff and it >= i_backup:
                 checkpoint_io.save(f"{it:08d}.pt", global_step=it,
                                    epoch_idx=epoch_idx, model=state.params,
                                    opt_state=state.opt_state)
