@@ -239,11 +239,19 @@ def volume_render_rays(model: NeuS, params, rays_o, rays_d, key,
     d_mid = 0.5 * (d_all[..., 1:] + d_all[..., :-1])
     pts_mid = rays_o[..., None, :] + rays_d[..., None, :] * d_mid[..., :, None]
 
-    sdf, nablas, _ = model.forward_with_nablas(params, pts)
+    # one batched sdf+nablas query over sections ∪ mids (the reference runs
+    # two separate autograd passes, neus.py:294-298; identical math, one
+    # backward graph): sections feed alpha + eikonal, mids feed radiance
+    P = pts.shape[-2]
+    pts_all = jnp.concatenate([pts, pts_mid], axis=-2)
+    sdf_all, nablas_all, h_all = model.forward_with_nablas(params, pts_all)
+    sdf, nablas = sdf_all[..., :P], nablas_all[..., :P, :]
+    nablas_mid, h_mid = nablas_all[..., P:, :], h_all[..., P:, :]
     cdf, opacity_alpha = sdf_to_alpha(sdf, model.forward_s(params))
     view_dirs_mid = (jnp.broadcast_to(view_dirs[..., None, :], pts_mid.shape)
                      if use_view_dirs else None)
-    radiances = model.forward_radiance(params, pts_mid, view_dirs_mid)
+    radiances = model.radiance_net.forward(params["radiance_net"], pts_mid,
+                                           view_dirs_mid, nablas_mid, h_mid)
 
     # NeRF++ outside branch
     sigma_out = radiance_out = None
