@@ -131,6 +131,17 @@ def _build_fused_call(config_key, tile: int, C_pad: int, W_pad: int,
         in_specs.append(full_block(w_shape))
         in_specs.append(full_block(b_shape))
 
+    compiler_params = None
+    if not interpret:
+        # "arbitrary" grid semantics let Mosaic keep the constant weight
+        # blocks resident in VMEM across grid steps instead of re-DMA-ing
+        # them per tile
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",))
+        except Exception:
+            compiler_params = None
+
     def call(emb_padded, flat_weights):
         M = emb_padded.shape[0]
         operands = [emb_padded]
@@ -144,6 +155,7 @@ def _build_fused_call(config_key, tile: int, C_pad: int, W_pad: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
             interpret=interpret,
+            **({"compiler_params": compiler_params} if compiler_params else {}),
         )(*operands)
         return out[:, 0]
 
