@@ -323,9 +323,8 @@ def volume_render_rays(model: NeuS, params, rays_o, rays_d, key,
 def make_volume_render_fn(model: NeuS, **render_kwargs):
     """Build (params, rays_o, rays_d, key) -> (rgb, depth, extras) preserving
     leading batch dims; static render options baked into the closure."""
-    drop = {k: render_kwargs.pop(k) for k in ("H", "W", "rayschunk", "netchunk",
-                                              "batched") if k in render_kwargs}
-    del drop
+    for k in ("H", "W", "rayschunk", "netchunk", "batched"):
+        render_kwargs.pop(k, None)
 
     def render(params, rays_o, rays_d, key):
         prefix = rays_o.shape[:-1]

@@ -93,17 +93,19 @@ def make_sharded_train_step(ray_loss_fn, optimizer, mesh: Mesh,
 
 
 def make_sharded_render(render_fn, mesh: Mesh, axis_name: str = "rays"):
-    """Shard a flat-ray render fn (params, rays_o, rays_d, key) over pixels."""
+    """Shard a flat-ray render fn (params, rays_o, rays_d, key) -> (rgb,
+    depth, extras) over pixels: the full-image validation/eval equivalent of
+    the sharded train step (replaces the reference's DataParallel val path).
+
+    The ray count must be divisible by the mesh size; callers pad.
+    """
     repl = replicate(mesh)
-    rs = NamedSharding(mesh, P(axis_name))
+    rs2 = NamedSharding(mesh, P(axis_name, None))
+    jitted = jax.jit(render_fn, in_shardings=(repl, rs2, rs2, repl))
 
     def render(params, rays_o, rays_d, key):
-        rays_o = jax.device_put(rays_o.reshape(-1, 3),
-                                NamedSharding(mesh, P(axis_name, None)))
-        rays_d = jax.device_put(rays_d.reshape(-1, 3),
-                                NamedSharding(mesh, P(axis_name, None)))
-        return jax.jit(render_fn, in_shardings=(repl, None, None, repl))(
-            params, rays_o, rays_d, key)
+        rays_o = jax.device_put(rays_o.reshape(-1, 3), rs2)
+        rays_d = jax.device_put(rays_d.reshape(-1, 3), rs2)
+        return jitted(params, rays_o, rays_d, key)
 
-    del rs
     return render
