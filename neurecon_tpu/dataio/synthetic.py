@@ -90,12 +90,14 @@ class SceneDataset:
     def __init__(self, data_dir=None, downscale=1.0, scale_radius=-1,
                  n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0):
         H, W = int(H // downscale), int(W // downscale)
+        # scale_radius semantics match the real loaders (max camera norm ends
+        # up at scale_radius/1.1) — but the scene is analytic, so cameras are
+        # PLACED at the scaled radius before rendering (scaling poses after
+        # rendering would desynchronize images from geometry).
+        if scale_radius > 0:
+            cam_radius = scale_radius / 1.1
         scene = make_synthetic_scene(n_images=n_images, H=H, W=W, radius=radius,
                                      cam_radius=cam_radius)
-        if scale_radius > 0:
-            scale = scale_radius / cam_radius / 1.1
-            scene["c2w"][:, :3, 3] *= scale
-            scene["depth"] *= scale
         self.H, self.W = H, W
         self.n_images = n_images
         self.c2w_all = scene["c2w"]

@@ -177,7 +177,7 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
     return ret
 
 
-def make_volume_render_fn(model: UNISURF, default_interval: float = 0.1,
+def make_volume_render_fn(model: UNISURF, default_interval: float = 1.0,
                           **render_kwargs):
     for k in ("H", "W", "rayschunk", "netchunk", "batched", "tau"):
         render_kwargs.pop(k, None)

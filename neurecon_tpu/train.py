@@ -93,7 +93,12 @@ def main_function(args):
     epoch_idx = int(load_dict.get("epoch_idx", 0))
     if "model" in load_dict:
         params.update(load_dict["model"])
-    opt_state = load_dict.get("opt_state", None) or optimizer.init(params)
+    opt_state = load_dict.get("opt_state", None)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+        if it > 0:  # params-only checkpoint: resume the lr schedule at `it`
+            from neurecon_tpu.training import fast_forward_schedule
+            opt_state = fast_forward_schedule(opt_state, it)
 
     # ---- SIREN sphere pretrain (must come after checkpoint load) ----
     surf_mod = model.implicit_surface

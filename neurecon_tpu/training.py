@@ -88,6 +88,32 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
+def fast_forward_schedule(opt_state, step: int):
+    """Set every optax `count` field to `step`: used when a checkpoint
+    provides parameters but no optimizer state, so the per-iteration lr
+    schedule resumes at the right point (the reference recreates its
+    scheduler with last_epoch=it-1, train.py:127)."""
+    def fix(s):
+        if hasattr(s, "_fields"):  # optax NamedTuple states
+            vals = {}
+            for f in s._fields:
+                v = getattr(s, f)
+                if f == "count":
+                    vals[f] = jnp.asarray(step, getattr(v, "dtype", jnp.int32))
+                else:
+                    vals[f] = fix(v)
+            return type(s)(**vals)
+        if isinstance(s, tuple):
+            return tuple(fix(x) for x in s)
+        if isinstance(s, list):
+            return [fix(x) for x in s]
+        if isinstance(s, dict):
+            return {k: fix(v) for k, v in s.items()}
+        return s
+
+    return fix(opt_state)
+
+
 def init_train_state(params, optimizer, step: int = 0) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.asarray(step, jnp.int32))

@@ -97,12 +97,24 @@ def gallery(array: np.ndarray, ncols: int = 3) -> np.ndarray:
 
 def save_video(imgs: np.ndarray, fname: str, as_gif: bool = False, fps: int = 24,
                quality: int = 8, already_np: bool = True, gif_scale: int = 512):
-    """imgs: [N, H, W, 3] float [0,1] or uint8 -> mp4 (+ optional gif)."""
+    """imgs: [N, H, W, 3] float [0,1] or uint8 -> mp4 (+ optional gif).
+
+    When no ffmpeg backend is available (this image has none), falls back to
+    an animated GIF (PIL-based, always available) at the same basename.
+    """
     import imageio.v2 as imageio
     imgs = np.asarray(imgs)
     if imgs.dtype != np.uint8:
         imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
-    imageio.mimwrite(fname, imgs, fps=fps, quality=quality)
-    if as_gif:
+    try:
+        imageio.mimwrite(fname, imgs, fps=fps, quality=quality)
+    except Exception:
         gif_path = os.path.splitext(fname)[0] + ".gif"
-        imageio.mimwrite(gif_path, imgs, fps=fps)
+        imageio.mimwrite(gif_path, imgs, duration=1000.0 / fps, loop=0)
+        from neurecon_tpu.utils.console import log
+        log.warning(f"no mp4 backend; wrote {gif_path} instead")
+        fname = gif_path
+    if as_gif and not fname.endswith(".gif"):
+        gif_path = os.path.splitext(fname)[0] + ".gif"
+        imageio.mimwrite(gif_path, imgs, duration=1000.0 / fps, loop=0)
+    return fname
