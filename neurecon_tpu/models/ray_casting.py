@@ -182,4 +182,8 @@ def make_surface_render_fn(model, ray_casting_algo: str = "sphere_tracing",
         extras = {k: v.reshape(prefix + v.shape[1:]) for k, v in extras.items()}
         return color, d_pred, extras
 
+    # surface rendering is deterministic: callers (render_full_image) must NOT
+    # thread an RNG key into the jitted program — an unused parameter on this
+    # program class crashes this environment's AOT compiler (SIGILL)
+    render.uses_key = False
     return render

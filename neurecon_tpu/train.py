@@ -122,6 +122,16 @@ def main_function(args):
 
     # ---- data to HBM, compiled step ----
     data_dev = _dataset_to_device(dataset)
+    # keep only fields the framework's loss consumes — an unused program
+    # parameter (e.g. object_mask for VolSDF) crashes this environment's
+    # AOT compiler, and is dead weight everywhere else
+    consumed = {"c2w", "intrinsics", "rgb"}
+    fw = args.model.framework
+    if fw == "NeuS" and bool(args.training.get("with_mask", False)):
+        consumed.add("object_mask")
+    if fw in ("NeuS", "VolSDF"):
+        consumed.add("mask_ignore")
+    data_dev = {k: v for k, v in data_dev.items() if k in consumed}
     n_images = int(data_dev["c2w"].shape[0])
     H, W = dataset.H, dataset.W
     N_rays = int(args.data.N_rays)

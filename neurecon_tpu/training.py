@@ -133,8 +133,16 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
     N = rays_o.shape[0]
-    chunked = jax.jit(lambda p, o, d, k: render_fn(p, o, d, k,
-                                                   **render_call_kwargs))
+    # deterministic renderers (surface rendering) declare uses_key=False; the
+    # key must then NOT be a program parameter — unused jit parameters crash
+    # this environment's AOT compiler
+    uses_key = getattr(render_fn, "uses_key", True)
+    if uses_key:
+        chunked = jax.jit(lambda p, o, d, k: render_fn(p, o, d, k,
+                                                       **render_call_kwargs))
+    else:
+        chunked = jax.jit(lambda p, o, d: render_fn(p, o, d, None,
+                                                    **render_call_kwargs))
 
     outs = []
     for i in range(0, N, rayschunk):
@@ -143,7 +151,8 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3))], 0)
             d = jnp.concatenate([d, jnp.ones((pad, 3))], 0)
-        rgb, depth, extras = chunked(params, o, d, key)
+        rgb, depth, extras = (chunked(params, o, d, key) if uses_key
+                              else chunked(params, o, d))
         chunk_out = {"rgb": rgb, "depth_volume": depth}
         chunk_out.update({k: v for k, v in extras.items()
                           if k not in ("rgb", "depth_volume")})
