@@ -217,6 +217,10 @@ class ImplicitSurface:
         return {"layers": layers}
 
     def forward(self, params: Params, x: jnp.ndarray, return_h: bool = False):
+        # flatten leading dims: identical math, and degenerate middle dims
+        # (e.g. [N, 1, 3]) trip this environment's TPU compiler
+        prefix = x.shape[:-1]
+        x = x.reshape(-1, x.shape[-1])
         x = self.embed_fn(x)
         h = x
         for i in range(self.D):
@@ -231,6 +235,8 @@ class ImplicitSurface:
         else:
             h_out = h  # NeRF-like: last hidden features
             sdf = out[..., 0]
+        sdf = sdf.reshape(prefix)
+        h_out = h_out.reshape(prefix + h_out.shape[-1:])
         return (sdf, h_out) if return_h else sdf
 
     def forward_with_nablas(self, params: Params, x: jnp.ndarray):
@@ -336,13 +342,18 @@ class RadianceNet:
         return {"layers": layers}
 
     def forward(self, params: Params, x, view_dirs, normals, geometry_feature):
+        prefix = x.shape[:-1]
+        x = x.reshape(-1, x.shape[-1])
         x = self.embed_fn(x)
         if self.use_view_dirs:
-            view_dirs = self.embed_fn_view(view_dirs)
+            view_dirs = self.embed_fn_view(view_dirs.reshape(-1, view_dirs.shape[-1]))
             radiance_input = jnp.concatenate(
-                [x, view_dirs, normals, geometry_feature], axis=-1)
+                [x, view_dirs, normals.reshape(-1, normals.shape[-1]),
+                 geometry_feature.reshape(-1, geometry_feature.shape[-1])], axis=-1)
         else:
-            radiance_input = jnp.concatenate([x, geometry_feature], axis=-1)
+            radiance_input = jnp.concatenate(
+                [x, geometry_feature.reshape(-1, geometry_feature.shape[-1])],
+                axis=-1)
 
         h = radiance_input
         for i in range(self.D + 1):
@@ -355,7 +366,7 @@ class RadianceNet:
                 h = sine_w0(h)
             else:
                 h = jax.nn.relu(h)
-        return h
+        return h.reshape(prefix + (3,))
 
 
 # ---------------------------------------------------------------------------

@@ -182,8 +182,14 @@ def make_surface_render_fn(model, ray_casting_algo: str = "sphere_tracing",
         extras = {k: v.reshape(prefix + v.shape[1:]) for k, v in extras.items()}
         return color, d_pred, extras
 
-    # surface rendering is deterministic: callers (render_full_image) must NOT
-    # thread an RNG key into the jitted program — an unused parameter on this
-    # program class crashes this environment's AOT compiler (SIGILL)
+    # surface rendering is deterministic and touches only the surface +
+    # radiance nets: callers (render_full_image) must neither thread an RNG
+    # key nor pass unused param subtrees (e.g. ln_s) into the jitted program —
+    # unused parameters on this program class crash this environment's AOT
+    # compiler (SIGILL). param_filter is applied OUTSIDE jit by callers.
     render.uses_key = False
+    render.param_filter = lambda p: {
+        "implicit_surface": p["implicit_surface"],
+        "radiance_net": p["radiance_net"],
+    }
     return render

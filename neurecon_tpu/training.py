@@ -119,6 +119,9 @@ def init_train_state(params, optimizer, step: int = 0) -> TrainState:
                       step=jnp.asarray(step, jnp.int32))
 
 
+_RENDER_JIT_CACHE = {}  # (render_fn id, chunk, kwargs) -> jitted chunk renderer
+
+
 def render_full_image(render_fn, params, rays_o, rays_d, key,
                       rayschunk: int = 4096, **render_call_kwargs):
     """Render all rays of an image with a fixed-chunk jitted renderer.
@@ -133,16 +136,22 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
     N = rays_o.shape[0]
-    # deterministic renderers (surface rendering) declare uses_key=False; the
-    # key must then NOT be a program parameter — unused jit parameters crash
-    # this environment's AOT compiler
+    # deterministic renderers (surface rendering) declare uses_key=False and a
+    # param_filter; the key / unused param subtrees must then NOT be program
+    # parameters — unused jit parameters crash this environment's AOT compiler
     uses_key = getattr(render_fn, "uses_key", True)
-    if uses_key:
-        chunked = jax.jit(lambda p, o, d, k: render_fn(p, o, d, k,
-                                                       **render_call_kwargs))
-    else:
-        chunked = jax.jit(lambda p, o, d: render_fn(p, o, d, None,
-                                                    **render_call_kwargs))
+    params = getattr(render_fn, "param_filter", lambda p: p)(params)
+    cache_key = (id(render_fn), rayschunk,
+                 tuple(sorted(render_call_kwargs.items())))
+    chunked = _RENDER_JIT_CACHE.get(cache_key)
+    if chunked is None:
+        if uses_key:
+            chunked = jax.jit(lambda p, o, d, k: render_fn(
+                p, o, d, k, **render_call_kwargs))
+        else:
+            chunked = jax.jit(lambda p, o, d: render_fn(
+                p, o, d, None, **render_call_kwargs))
+        _RENDER_JIT_CACHE[cache_key] = chunked
 
     outs = []
     for i in range(0, N, rayschunk):
