@@ -241,12 +241,22 @@ class ImplicitSurface:
 
     def forward_with_nablas(self, params: Params, x: jnp.ndarray):
         """(sdf, nablas, h). Differentiable wrt params AND x (grad-of-grad for
-        the eikonal term works because this is jax.grad, not a detached pass)."""
+        the eikonal term works because this is jax.grad, not a detached pass).
+
+        The inner grad runs on a flat [M, C] input so the whole autodiff graph
+        is rank-2 (degenerate middle dims crash this environment's TPU
+        compiler); outputs are reshaped back to the caller's prefix.
+        """
+        prefix = x.shape[:-1]
+        x_flat = x.reshape(-1, x.shape[-1])
+
         def scalar_sum(x_):
             sdf, h = self.forward(params, x_, return_h=True)
             return jnp.sum(sdf), (sdf, h)
-        grads, (sdf, h) = jax.grad(scalar_sum, has_aux=True)(x)
-        return sdf, grads, h
+
+        grads, (sdf, h) = jax.grad(scalar_sum, has_aux=True)(x_flat)
+        return (sdf.reshape(prefix), grads.reshape(prefix + x.shape[-1:]),
+                h.reshape(prefix + h.shape[-1:]))
 
     def forward_fast(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Forward-only sdf query through the fused Pallas MLP kernel

@@ -101,8 +101,17 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
                        N_steps: int = 256,
                        calc_normal: bool = False,
                        detailed_output: bool = True,
+                       reg_perturb: Optional[float] = None,
                        **dummy_kwargs):
-    """Render a flat batch of rays [N, 3]; `interval` is a traced scalar Δ."""
+    """Render a flat batch of rays [N, 3]; `interval` is a traced scalar Δ.
+
+    reg_perturb (static float, training only): also query nablas at the cast
+    surface point and at a point jittered by ±reg_perturb — appended to the
+    renderer's single batched network call (a separate forward_with_nablas
+    instance in the same program crashes this environment's TPU compiler) —
+    and return them as ret['nablas_surface_reg'] [N, 2, 3] for the
+    normal-smoothness loss (ref unisurf.py:330-341).
+    """
     rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
     rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -139,9 +148,23 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
         [d_samples_freespace, d_samples_interval], axis=-1), axis=-1)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * d_all[..., :, None]
 
+    P_render = pts.shape[-2]
+    if reg_perturb is not None:
+        k_reg = jax.random.fold_in(key, 7)
+        neighbors = pt_pred + (jax.random.uniform(k_reg, pt_pred.shape)
+                               - 0.5) * 2.0 * reg_perturb
+        pts = jnp.concatenate(
+            [pts, pt_pred[..., None, :], neighbors[..., None, :]], axis=-2)
+
     views = (jnp.broadcast_to(view_dirs[..., None, :], pts.shape)
              if use_view_dirs else None)
     radiances, logits, nablas = model.forward(params, pts, views)
+    nablas_surface_reg = None
+    if reg_perturb is not None:
+        nablas_surface_reg = nablas[..., P_render:, :]
+        radiances = radiances[..., :P_render, :]
+        logits = logits[..., :P_render]
+        nablas = nablas[..., :P_render, :]
 
     opacity_alpha = UNISURF.get_opacity_from_surface(logits)
     shifted_transparency = jnp.concatenate(
@@ -162,6 +185,8 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
     ret = {"rgb": rgb_map, "depth_volume": depth_map, "mask_volume": acc_map,
            # per-ray surface diagnostics (cheap, used by validation images)
            "mask_surface": mask, "depth_surface": d_pred_out}
+    if nablas_surface_reg is not None:
+        ret["nablas_surface_reg"] = nablas_surface_reg
     if calc_normal:
         normals_map = nablas / (jnp.linalg.norm(nablas, axis=-1, keepdims=True) + 1e-10)
         P = min(visibility_weights.shape[-1], normals_map.shape[-2])
@@ -202,10 +227,12 @@ def make_ray_loss_fn(model: UNISURF, args, render_kwargs_train: dict):
     delta_beta = float(args.training.delta_beta)
     render_fn = make_volume_render_fn(
         model, detailed_output=True,
+        reg_perturb=(perturb_surface_pts if w_reg > 0 else None),
         **{k: v for k, v in render_kwargs_train.items() if k not in ("H", "W")})
 
     def ray_loss(params, rb, key, it):
         k_render, k_reg = jax.random.split(key)
+        del k_reg  # reg points are jittered inside the renderer's key stream
         target_rgb = rb["target_rgb"]
 
         # shrinking sampling interval (traced — `it` is a device scalar)
@@ -219,11 +246,11 @@ def make_ray_loss_fn(model: UNISURF, args, render_kwargs_train: dict):
         losses["loss_img"] = jnp.mean(jnp.abs(rgb - target_rgb))
 
         if w_reg > 0:
-            pts_surface = extras["surface_points"]
-            _, nablas_surface, _ = model.forward_with_nablas(params, pts_surface)
-            neighbors = pts_surface + (jax.random.uniform(k_reg, pts_surface.shape)
-                                       - 0.5) * 2.0 * perturb_surface_pts
-            _, nablas_perturb, _ = model.forward_with_nablas(params, neighbors)
+            # nablas at (surface point, jittered neighbor), computed by the
+            # renderer's single batched network query
+            reg = extras["nablas_surface_reg"]
+            nablas_surface = reg[..., 0, :]
+            nablas_perturb = reg[..., 1, :]
 
             def _unit(v):
                 return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-10)

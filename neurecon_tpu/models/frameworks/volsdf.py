@@ -250,8 +250,16 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
                        fine_sample_mul: int = 4,
                        calc_normal: bool = False,
                        detailed_output: bool = True,
+                       eik_pts=None,
                        **dummy_kwargs):
-    """Render a flat batch of rays [N, 3] -> dict of per-ray outputs."""
+    """Render a flat batch of rays [N, 3] -> dict of per-ray outputs.
+
+    eik_pts [N, K, 3] (optional): extra query points whose nablas the trainer
+    needs (eikonal regularization). They are appended to the renderer's single
+    batched network query — a SEPARATE forward_with_nablas instance in the
+    same program crashes this environment's TPU compiler — and returned as
+    ret['eik_nablas'] without touching the compositor.
+    """
     rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
     rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -290,9 +298,18 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
     d_all = jnp.sort(jnp.concatenate([d_coarse, d_fine], axis=-1), axis=-1)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * d_all[..., :, None]
 
+    P_render = pts.shape[-2]
+    if eik_pts is not None:
+        pts = jnp.concatenate([pts, eik_pts.reshape(N_rays, -1, 3)], axis=-2)
     views = (jnp.broadcast_to(view_dirs[..., None, :], pts.shape)
              if use_view_dirs else None)
     radiances, sdf, nablas = model.forward(params, pts, views)
+    eik_nablas = None
+    if eik_pts is not None:
+        eik_nablas = nablas[..., P_render:, :]
+        radiances = radiances[..., :P_render, :]
+        sdf = sdf[..., :P_render]
+        nablas = nablas[..., :P_render, :]
     sigma = sdf_to_sigma(sdf, alpha, beta)
 
     sigma_out = radiance_out = None
@@ -341,6 +358,8 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
         "beta_map": beta_map,
         "iter_usage": iter_usage,
     }
+    if eik_nablas is not None:
+        ret["eik_nablas"] = eik_nablas
     if calc_normal:
         normals_map = nablas / (jnp.linalg.norm(nablas, axis=-1, keepdims=True) + 1e-10)
         P = min(tau_i.shape[-1], normals_map.shape[-2])
@@ -365,9 +384,12 @@ def make_volume_render_fn(model: VolSDF, **render_kwargs):
     for k in ("H", "W", "rayschunk", "netchunk", "batched"):
         render_kwargs.pop(k, None)
 
-    def render(params, rays_o, rays_d, key):
+    def render(params, rays_o, rays_d, key, eik_pts=None):
         prefix = rays_o.shape[:-1]
-        ret = volume_render_rays(model, params, rays_o, rays_d, key, **render_kwargs)
+        if eik_pts is not None:
+            eik_pts = eik_pts.reshape(-1, *eik_pts.shape[len(prefix):])
+        ret = volume_render_rays(model, params, rays_o, rays_d, key,
+                                 eik_pts=eik_pts, **render_kwargs)
         ret = {k: v.reshape(prefix + v.shape[1:]) for k, v in ret.items()}
         return ret["rgb"], ret["depth_volume"], ret
 
@@ -388,8 +410,14 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
         target_rgb = rb["target_rgb"]
         mask_ignore = rb.get("mask_ignore")
 
+        # one uniform box point per ray, queried INSIDE the renderer's single
+        # batched network call (a second forward_with_nablas instance in the
+        # same program crashes this environment's TPU compiler)
+        eik_pts = jax.random.uniform(
+            k_eik, rb["rays_o"].shape[:-1] + (1, 3), jnp.float32,
+            -eik_bounding_box, eik_bounding_box)
         rgb, depth_v, extras = render_fn(params, rb["rays_o"], rb["rays_d"],
-                                         k_render)
+                                         k_render, eik_pts=eik_pts)
 
         nablas = extras["implicit_nablas"]  # [..., N_rays, P, 3]
         # single max-visibility surface point per ray (§3.5 of the paper)
@@ -397,10 +425,7 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
                          axis=-1)
         nablas_surf = jnp.take_along_axis(
             nablas, ind[..., None, None].repeat(3, -1), axis=-2)
-        # plus one uniform point in the bounding box per ray
-        eik_pts = jax.random.uniform(k_eik, nablas_surf.shape, jnp.float32,
-                                     -eik_bounding_box, eik_bounding_box)
-        _, nablas_eik, _ = model.forward_with_nablas(params, eik_pts)
+        nablas_eik = extras["eik_nablas"]
         nablas_all = jnp.concatenate([nablas_surf, nablas_eik], axis=-2)
         nablas_norm = jnp.linalg.norm(nablas_all, axis=-1)
 
