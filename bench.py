@@ -51,21 +51,33 @@ def main():
     rb = sample_ray_batch(jax.random.PRNGKey(0), batch, H, W, N_rays)
     rb = jax.tree_util.tree_map(jnp.asarray, rb)
 
-    K = 20
+    def make_multi(K):
+        @jax.jit
+        def multi_step(state, rb, key):
+            def body(carry, k):
+                st, _ = carry
+                st, m = step(st, rb, k)
+                return (st, m["losses"]["total"]), None
+            keys = jax.random.split(key, K)
+            (st, last), _ = jax.lax.scan(body, (state, jnp.zeros(())), keys)
+            return st, last
+        return multi_step
 
-    @jax.jit
-    def multi_step(state, rb, key):
-        def body(carry, k):
-            st, _ = carry
-            st, m = step(st, rb, k)
-            return (st, m["losses"]["total"]), None
-        keys = jax.random.split(key, K)
-        (st, last), _ = jax.lax.scan(body, (state, jnp.zeros(())), keys)
-        return st, last
-
-    # compile + tunnel warm-up
-    state, last = multi_step(state, rb, jax.random.PRNGKey(1))
-    assert float(last) > 0  # the step really trained (fetch = sync)
+    # the environment's remote compile helper sometimes degrades and rejects
+    # large programs (SIGILL) — tier down the scan length until one compiles;
+    # every tier is a real end-to-end measurement of the same train step
+    multi_step, K = None, None
+    for K_try in (20, 5, 1):
+        try:
+            cand = make_multi(K_try)
+            state, last = cand(state, rb, jax.random.PRNGKey(1))
+            assert float(last) > 0  # the step really trained (fetch = sync)
+            multi_step, K = cand, K_try
+            break
+        except Exception as e:  # compile-service failure: try a smaller program
+            print(f"# bench: K={K_try} failed ({str(e).splitlines()[0][:80]})",
+                  flush=True)
+    assert multi_step is not None, "all bench program sizes failed to compile"
 
     best_dt = float("inf")
     for trial in range(5):
