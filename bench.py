@@ -64,19 +64,24 @@ def main():
         return multi_step
 
     # the environment's remote compile helper sometimes degrades and rejects
-    # large programs (SIGILL) — tier down the scan length until one compiles;
-    # every tier is a real end-to-end measurement of the same train step
+    # large programs (SIGILL / HTTP 500) — retry each tier with backoff, then
+    # tier down the scan length until one compiles; every tier is a real
+    # end-to-end measurement of the same train step
     multi_step, K = None, None
     for K_try in (20, 5, 1):
-        try:
-            cand = make_multi(K_try)
-            state, last = cand(state, rb, jax.random.PRNGKey(1))
-            assert float(last) > 0  # the step really trained (fetch = sync)
-            multi_step, K = cand, K_try
+        for attempt in range(3):
+            try:
+                cand = make_multi(K_try)
+                state, last = cand(state, rb, jax.random.PRNGKey(1))
+                assert float(last) > 0  # step really trained (fetch = sync)
+                multi_step, K = cand, K_try
+                break
+            except Exception as e:  # compile-service flake: back off, retry
+                print(f"# bench: K={K_try} attempt {attempt} failed "
+                      f"({str(e).splitlines()[0][:80]})", flush=True)
+                time.sleep(5 * (attempt + 1))
+        if multi_step is not None:
             break
-        except Exception as e:  # compile-service failure: try a smaller program
-            print(f"# bench: K={K_try} failed ({str(e).splitlines()[0][:80]})",
-                  flush=True)
     assert multi_step is not None, "all bench program sizes failed to compile"
 
     best_dt = float("inf")

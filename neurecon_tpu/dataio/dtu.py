@@ -105,3 +105,21 @@ class SceneDataset:
             _, pose = load_K_Rt_from_P(P[:3, :4])
             c2w_all.append(pose)
         return np.stack(c2w_all)
+
+    def get_pose_init(self):
+        """Noisy pose initializations from the linear method, as [N, 7] rows
+        of (quat wxyz, translation) — camera-pose-optimization starting point
+        (ref dataio/DTU.py:126-160)."""
+        from neurecon_tpu.utils.camera import rot_to_quat
+        cam_file = os.path.join(self.instance_dir, "cameras_linear_init.npz")
+        camera_dict = np.load(cam_file)
+        init_pose = []
+        for i in range(self.n_images):
+            P = (camera_dict[f"world_mat_{i}"].astype(np.float32)
+                 @ camera_dict[f"scale_mat_{i}"].astype(np.float32))[:3, :4]
+            _, pose = load_K_Rt_from_P(P)
+            init_pose.append(pose)
+        init_pose = np.stack(init_pose)
+        init_quat = rot_to_quat(init_pose[:, :3, :3])
+        return np.concatenate([init_quat, init_pose[:, :3, 3]], axis=1).astype(
+            np.float32)

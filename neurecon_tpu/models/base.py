@@ -121,6 +121,20 @@ def apply_linear(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     return x @ w.T + p["b"]
 
 
+def slice_linear_rows(p: Dict[str, jnp.ndarray], start: int,
+                      stop: Optional[int]) -> Dict[str, jnp.ndarray]:
+    """Row-slice of a linear layer's params: the affine map restricted to
+    output channels [start:stop]. Exact also under weight-norm (g·v/‖v‖ is
+    per-row, so slicing rows of v/g commutes with the normalization)."""
+    sl = slice(start, stop)
+    out = {"b": p["b"][sl]}
+    if "v" in p:
+        out["v"], out["g"] = p["v"][sl], p["g"][sl]
+    else:
+        out["w"] = p["w"][sl]
+    return out
+
+
 def softplus100(x):
     """Softplus(beta=100) — critical for the initial sphere (ref base.py:201-202)."""
     return jax.nn.softplus(100.0 * x) / 100.0
@@ -228,13 +242,16 @@ class ImplicitSurface:
                 h = jnp.concatenate([h, x], axis=-1) / np.sqrt(2)
             h = apply_linear(params["layers"][i], h)
             h = sine_w0(h) if self.use_siren else softplus100(h)
-        out = apply_linear(params["layers"][self.D], h)
+        out_p = params["layers"][self.D]
         if self.W_geo_feat > 0:
-            h_out = out[..., 1:]
-            sdf = out[..., 0]
+            # final layer as two row-sliced matmuls (identical affine map):
+            # slicing the fused 1+W_geo_feat output under the inner jax.grad
+            # SIGILLs this environment's TPU compiler fusion pass
+            sdf = apply_linear(slice_linear_rows(out_p, 0, 1), h)[..., 0]
+            h_out = apply_linear(slice_linear_rows(out_p, 1, None), h)
         else:
             h_out = h  # NeRF-like: last hidden features
-            sdf = out[..., 0]
+            sdf = apply_linear(out_p, h)[..., 0]
         sdf = sdf.reshape(prefix)
         h_out = h_out.reshape(prefix + h_out.shape[-1:])
         return (sdf, h_out) if return_h else sdf

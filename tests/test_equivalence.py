@@ -87,3 +87,46 @@ class TestBatchedRays:
                                    rtol=1e-6)
         # different cameras give different origins
         assert not np.allclose(np.asarray(ro_b[0]), np.asarray(ro_b[1]))
+
+
+class TestSplitFinalLayer:
+    def test_split_final_matmul_equals_fused(self):
+        """ImplicitSurface applies its final 1+W_geo_feat layer as two
+        row-sliced matmuls (the fused layer + output slice SIGILLs the TPU
+        compiler under the inner jax.grad). Row slicing must be exactly the
+        fused affine map, including under weight-norm."""
+        from neurecon_tpu.models.base import (ImplicitSurface, apply_linear,
+                                              slice_linear_rows)
+        surf = ImplicitSurface(W=32, D=3, skips=(2,), W_geo_feat=16,
+                               embed_multires=4, weight_norm=True)
+        params = surf.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), jnp.float32,
+                               -1, 1)
+
+        sdf, h_out = surf.forward(params, x, return_h=True)
+
+        p_fin = params["layers"][surf.D]
+
+        # equivalence of slicing itself on random activations
+        h = jax.random.normal(jax.random.PRNGKey(2), (64, surf.W))
+        fused = apply_linear(p_fin, h)
+        split0 = apply_linear(slice_linear_rows(p_fin, 0, 1), h)
+        split1 = apply_linear(slice_linear_rows(p_fin, 1, None), h)
+        np.testing.assert_allclose(np.asarray(fused[..., :1]),
+                                   np.asarray(split0), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fused[..., 1:]),
+                                   np.asarray(split1), rtol=1e-6, atol=1e-6)
+
+        # and the forward path output must equal the fused formulation
+        emb = surf.embed_fn(x)
+        hh = emb
+        for i in range(surf.D):
+            if i in surf.skips:
+                hh = jnp.concatenate([hh, emb], -1) / np.sqrt(2)
+            hh = apply_linear(params["layers"][i], hh)
+            hh = jax.nn.softplus(100.0 * hh) / 100.0
+        out = apply_linear(p_fin, hh)
+        np.testing.assert_allclose(np.asarray(sdf), np.asarray(out[..., 0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h_out), np.asarray(out[..., 1:]),
+                                   rtol=1e-5, atol=1e-6)
