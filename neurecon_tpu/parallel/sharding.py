@@ -92,6 +92,59 @@ def make_sharded_train_step(ray_loss_fn, optimizer, mesh: Mesh,
                    out_shardings=(repl, repl))
 
 
+def make_sharded_train_block(ray_loss_fn, optimizer, mesh: Mesh,
+                             sample_fn, ray_axis: int = 1,
+                             axis_name: str = "rays"):
+    """K train steps per dispatch, sharded: one jitted lax.scan whose body
+    samples a ray batch on device (from the replicated HBM dataset), pins it
+    to the 'rays' mesh axis with a sharding constraint, and runs grad + adam
+    (XLA inserts the gradient psum). This merges the two-dispatch sharded
+    path (sample, then step) into one program and amortizes the host/tunnel
+    round-trip over K steps — the sharded equivalent of the reference DDP
+    loop train.py:122-210, with zero per-step host work.
+
+    sample_fn(data, idx, key) -> ray_batch (every leaf with the ray axis at
+    `ray_axis`). Returns block(state, data, idxs [K], key) -> (state,
+    metrics-of-last-step).
+    """
+    repl = replicate(mesh)
+
+    def constrain(rb):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, ray_sharding(mesh, x.ndim, ray_axis, axis_name)), rb)
+
+    def block(state: TrainState, data, idxs, key):
+        def body(st, xs):
+            idx, k = xs
+            k_sample, k_render = jax.random.split(k)
+            rb = constrain(sample_fn(data, idx, k_sample))
+            it = st.step
+
+            def wrapped(params):
+                return ray_loss_fn(params, rb, k_render, it)
+
+            (_, (losses, extras)), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(st.params)
+            updates, opt_state = optimizer.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            metrics = {"losses": {k2: jnp.mean(v) for k2, v in losses.items()},
+                       "grad_norms": grad_norms_by_module(grads)}
+            if isinstance(extras, dict) and "scalars" in extras:
+                metrics["scalars"] = extras["scalars"]
+            return TrainState(params=params, opt_state=opt_state,
+                              step=it + 1), metrics
+
+        keys = jax.random.split(key, idxs.shape[0])
+        state, metrics = jax.lax.scan(body, state, (idxs, keys))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(block, donate_argnums=(0,),
+                   in_shardings=(repl, repl, None, repl),
+                   out_shardings=(repl, repl))
+
+
 def make_sharded_render(render_fn, mesh: Mesh, axis_name: str = "rays"):
     """Shard a flat-ray render fn (params, rays_o, rays_d, key) -> (rgb,
     depth, extras) over pixels: the full-image validation/eval equivalent of

@@ -138,22 +138,27 @@ def main_function(args):
 
     n_devices = jax.local_device_count()
     use_sharding = n_devices > 1 and N_rays % n_devices == 0
+    steps_per_call = int(args.training.get("steps_per_call", 1))
+    mesh = None
     if use_sharding:
-        from neurecon_tpu.parallel import (make_mesh, make_sharded_train_step,
-                                           shard_rays)
+        # K sharded steps per dispatch: ray sampling, sharding constraint,
+        # grad psum and adam all inside one compiled scan
+        from neurecon_tpu.parallel import make_mesh
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
         log.info(f"=> sharding rays over {n_devices} devices")
         mesh = make_mesh()
         ray_loss = get_ray_loss_fn(args, model, render_kwargs_train)
-        step_fn = make_sharded_train_step(ray_loss, optimizer, mesh)
 
-        @jax.jit
         def sample_fn(data, idx, key):
             return sample_ray_batch(key, _slice_image(data, idx), H, W, N_rays)
 
+        block_fn = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+
+        def run_block(state, idxs, key):
+            return block_fn(state, data_dev, idxs, key)
+
         def run_step(state, idx, key):
-            k1, k2 = jax.random.split(key)
-            rb = shard_rays(mesh, sample_fn(data_dev, idx, k1))
-            return step_fn(state, rb, k2)
+            return block_fn(state, data_dev, jnp.asarray([idx]), key)
     else:
         loss_fn_img = trainer_factory(render_kwargs_train)
 
@@ -166,22 +171,21 @@ def main_function(args):
         def run_step(state, idx, key):
             return step_fn(state, (data_dev, idx), key)
 
-    # K steps per dispatch: amortizes host/tunnel round-trips. One jitted
-    # lax.scan over K image indices; metrics come from the last step.
-    steps_per_call = int(args.training.get("steps_per_call", 1))
-    if steps_per_call > 1 and not use_sharding:
-        inner_step = make_train_step(loss_fn, optimizer, jit=False)
+        # K steps per dispatch: amortizes host/tunnel round-trips. One jitted
+        # lax.scan over K image indices; metrics come from the last step.
+        if steps_per_call > 1:
+            inner_step = make_train_step(loss_fn, optimizer, jit=False)
 
-        @jax.jit
-        def run_block(state, idxs, key):
-            def body(carry, xs):
-                idx, k = xs
-                st, metrics = inner_step(carry, (data_dev, idx), k)
-                return st, metrics
-            keys = jax.random.split(key, idxs.shape[0])
-            state, metrics = jax.lax.scan(body, state, (idxs, keys))
-            last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
-            return state, last
+            @jax.jit
+            def run_block(state, idxs, key):
+                def body(carry, xs):
+                    idx, k = xs
+                    st, metrics = inner_step(carry, (data_dev, idx), k)
+                    return st, metrics
+                keys = jax.random.split(key, idxs.shape[0])
+                state, metrics = jax.lax.scan(body, state, (idxs, keys))
+                last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+                return state, last
 
     # ---- validation renderer ----
     val_render_kwargs = {k: v for k, v in render_kwargs_test.items()
@@ -191,7 +195,8 @@ def main_function(args):
     val_rayschunk = int(args.data.get("val_rayschunk", 4096))
 
     def do_validation(state, it):
-        val_idx = np.random.randint(len(val_dataset))
+        # seeded by (run seed, it): runs are exactly reproducible
+        val_idx = int(np.random.RandomState(seed + it).randint(len(val_dataset)))
         _, val_in, val_gt = val_dataset[val_idx]
         Hv, Wv = val_dataset.H, val_dataset.W
         rays_o, rays_d, _ = get_rays(
@@ -199,7 +204,7 @@ def main_function(args):
             jnp.asarray(val_in["intrinsics"]), Hv, Wv, N_rays=-1)
         ret = render_full_image(render_fn_test, state.params, rays_o, rays_d,
                                 jax.random.fold_in(train_key, it),
-                                rayschunk=val_rayschunk)
+                                rayschunk=val_rayschunk, mesh=mesh)
         to_img = lambda t: np.asarray(lin2img(jnp.asarray(t), Hv, Wv))
         logger.add_imgs(to_img(val_gt["rgb"].reshape(-1, 3)), "val/gt_rgb", it)
         logger.add_imgs(to_img(ret["rgb"]), "val/predicted_rgb", it)
@@ -244,7 +249,7 @@ def main_function(args):
     special_i_val_mesh = [3000, 5000, 7000]
     num_iters = int(args.training.num_iters)
 
-    K = steps_per_call if (steps_per_call > 1 and not use_sharding) else 1
+    K = steps_per_call if steps_per_call > 1 else 1
     log.info(f"=> Start training..., it={it}, in {exp_dir} "
              f"({K} steps per dispatch)")
     t0 = time.time()

@@ -123,13 +123,18 @@ _RENDER_JIT_CACHE = {}  # (render_fn id, chunk, kwargs) -> jitted chunk renderer
 
 
 def render_full_image(render_fn, params, rays_o, rays_d, key,
-                      rayschunk: int = 4096, **render_call_kwargs):
+                      rayschunk: int = 4096, mesh=None, **render_call_kwargs):
     """Render all rays of an image with a fixed-chunk jitted renderer.
 
     Replaces the reference's rayschunk host loop (neus.py:385): one compile
     (static chunk size, last chunk padded), host loop over chunks, numpy
     concatenation. render_fn: (params, rays_o [N,3], rays_d [N,3], key) ->
     (rgb, depth, extras).
+
+    With `mesh` (a 1-D 'rays' jax.sharding.Mesh), each chunk is sharded over
+    the mesh's devices — the multi-chip validation/eval path (replaces the
+    reference's DataParallel val renders; the chunk size is rounded up to a
+    multiple of the mesh size).
     """
     import numpy as np
 
@@ -141,16 +146,26 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     # parameters — unused jit parameters crash this environment's AOT compiler
     uses_key = getattr(render_fn, "uses_key", True)
     params = getattr(render_fn, "param_filter", lambda p: p)(params)
-    cache_key = (id(render_fn), rayschunk,
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        rayschunk = ((rayschunk + n_dev - 1) // n_dev) * n_dev
+    cache_key = (id(render_fn), rayschunk, id(mesh),
                  tuple(sorted(render_call_kwargs.items())))
     chunked = _RENDER_JIT_CACHE.get(cache_key)
     if chunked is None:
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+            rs = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
+            jit_kwargs["in_shardings"] = ((repl, rs, rs, repl) if uses_key
+                                          else (repl, rs, rs))
         if uses_key:
             chunked = jax.jit(lambda p, o, d, k: render_fn(
-                p, o, d, k, **render_call_kwargs))
+                p, o, d, k, **render_call_kwargs), **jit_kwargs)
         else:
             chunked = jax.jit(lambda p, o, d: render_fn(
-                p, o, d, None, **render_call_kwargs))
+                p, o, d, None, **render_call_kwargs), **jit_kwargs)
         _RENDER_JIT_CACHE[cache_key] = chunked
 
     outs = []

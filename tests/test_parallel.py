@@ -83,3 +83,131 @@ class TestShardedStep:
             losses.append(float(metrics["losses"]["total"]))
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+class TestShardedTrainBlock:
+    def test_block_matches_sequential_sharded_steps(self):
+        """K sharded steps in ONE dispatch (sampling + sharding constraint +
+        grad psum inside a compiled scan) must equal K sequential sharded
+        steps with the same key schedule — and both must train."""
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.frameworks.neus import make_ray_loss_fn
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+        from tests.test_neus import tiny_model
+
+        H, W, N_rays, K = 40, 48, 64, 3
+        scene = make_synthetic_scene(n_images=4, H=H, W=W)
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "NeuS"},
+            "training": {"with_mask": True, "w_mask": 1.0, "w_eikonal": 0.1,
+                         "lr": 5e-4, "num_iters": 100, "speed_factor": 10.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        rk = {"H": H, "W": W, "N_samples": 16, "N_importance": 16,
+              "perturb": True}
+        ray_loss = make_ray_loss_fn(model, args, rk)
+        optimizer = make_optimizer(args, params)
+        data = {k: jnp.asarray(scene[k])
+                for k in ("c2w", "intrinsics", "rgb", "object_mask")}
+
+        def slice_image(data, idx):
+            return {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                    for k, v in data.items()}
+
+        def sample_fn(data, idx, key):
+            return sample_ray_batch(key, slice_image(data, idx), H, W, N_rays)
+
+        mesh = make_mesh(8)
+        idxs = jnp.asarray([0, 2, 1])
+        key = jax.random.PRNGKey(7)
+
+        # one-dispatch block
+        params_b = jax.tree_util.tree_map(jnp.copy, params)
+        block = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        state_b, metrics_b = block(init_train_state(params_b, optimizer),
+                                   data, idxs, key)
+
+        # sequential reference: same key schedule, per-step sharded steps
+        state_s = init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                                   optimizer)
+        step_s = make_sharded_train_step(ray_loss, optimizer, mesh)
+        keys = jax.random.split(key, K)
+        for i in range(K):
+            k_sample, k_render = jax.random.split(keys[i])
+            rb = shard_rays(mesh, jax.jit(sample_fn)(data, idxs[i], k_sample))
+            state_s, metrics_s = step_s(state_s, rb, k_render)
+
+        assert int(state_b.step) == K
+        for k in metrics_s["losses"]:
+            np.testing.assert_allclose(float(metrics_b["losses"][k]),
+                                       float(metrics_s["losses"][k]),
+                                       rtol=2e-3, atol=1e-5)
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state_b.params, state_s.params)
+        assert max(jax.tree_util.tree_leaves(diff)) < 1e-4
+
+    def test_block_k1_matches_unsharded_step(self):
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.frameworks.neus import make_ray_loss_fn
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+        from tests.test_neus import tiny_model
+
+        H, W, N_rays = 40, 48, 64
+        scene = make_synthetic_scene(n_images=2, H=H, W=W)
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "NeuS"},
+            "training": {"with_mask": True, "w_mask": 1.0, "w_eikonal": 0.1,
+                         "lr": 5e-4, "num_iters": 100, "speed_factor": 10.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        rk = {"H": H, "W": W, "N_samples": 16, "N_importance": 16,
+              "perturb": True}
+        ray_loss = make_ray_loss_fn(model, args, rk)
+        optimizer = make_optimizer(args, params)
+        data = {k: jnp.asarray(scene[k])
+                for k in ("c2w", "intrinsics", "rgb", "object_mask")}
+
+        def slice_image(data, idx):
+            return {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                    for k, v in data.items()}
+
+        def sample_fn(data, idx, key):
+            return sample_ray_batch(key, slice_image(data, idx), H, W, N_rays)
+
+        mesh = make_mesh(8)
+        key = jax.random.PRNGKey(9)
+
+        block = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        state_b, metrics_b = block(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, jnp.asarray([1]), key)
+
+        # unsharded reference with the same key schedule
+        (k,) = jax.random.split(key, 1)
+        k_sample, k_render = jax.random.split(k)
+        rb = jax.jit(sample_fn)(data, jnp.asarray(1), k_sample)
+
+        def loss_fn(params, rb_, key_, it_):
+            return ray_loss(params, rb_, key_, it_)
+
+        step_u = make_train_step(loss_fn, optimizer)
+        state_u, metrics_u = step_u(init_train_state(params, optimizer),
+                                    rb, k_render)
+
+        for k2 in metrics_u["losses"]:
+            np.testing.assert_allclose(float(metrics_b["losses"][k2]),
+                                       float(metrics_u["losses"][k2]),
+                                       rtol=2e-3, atol=1e-5)
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state_b.params, state_u.params)
+        assert max(jax.tree_util.tree_leaves(diff)) < 1e-4
