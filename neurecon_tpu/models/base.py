@@ -282,6 +282,16 @@ class ImplicitSurface:
         from neurecon_tpu.ops.fused_mlp import fused_sdf_forward
         return fused_sdf_forward(self, params, x)
 
+    def forward_query(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Gradient-free sdf query: the fused Pallas kernel on TPU, the plain
+        jnp forward elsewhere (the kernel's interpreter mode is debug-only).
+        Used by the upsamplers, ray casters, and mesh grids — all of which
+        sit under stop_gradient, so the missing VJP is irrelevant."""
+        from neurecon_tpu.ops.fused_mlp import fused_mlp_enabled
+        if fused_mlp_enabled():
+            return self.forward_fast(params, x)
+        return self.forward(params, x)
+
 
 def pretrain_siren_sdf(surface: ImplicitSurface, params: Params, key: jax.Array,
                        num_iters: int = 5000, lr: float = 1.0e-4,

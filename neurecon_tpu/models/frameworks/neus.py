@@ -97,6 +97,10 @@ class NeuS:
     def forward_surface(self, params, x):
         return self.implicit_surface.forward(params["implicit_surface"], x)
 
+    def forward_surface_fast(self, params, x):
+        """Gradient-free sdf query (fused Pallas kernel on TPU)."""
+        return self.implicit_surface.forward_query(params["implicit_surface"], x)
+
     def forward_with_nablas(self, params, x):
         return self.implicit_surface.forward_with_nablas(params["implicit_surface"], x)
 
@@ -133,9 +137,17 @@ def neus_upsample(model: NeuS, params, rays_o, rays_d, d_coarse, key,
     sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
 
     def query_sdf(d):
+        # plain jnp forward: the fused Pallas kernel measured NEUTRAL inside
+        # the differentiated train program on real TPU — it only wins on the
+        # big eval-time batches (mesh grids, casting); see docs/performance.md
         pts = rays_o[..., None, :] + rays_d[..., None, :] * d[..., :, None]
         return model.forward_surface(sg_params, pts)
 
+    # NOTE on sorting: a comparison-count merge of the two already-sorted
+    # buffers (ops.merge_sorted) was benchmarked against concat+sort on the
+    # real chip and LOST (12.6k vs 13.8k rays/s/chip end-to-end) — XLA's
+    # [N, 128] sort is cheap while the count matrices add HBM traffic — so
+    # the upsamplers keep the sort (docs/performance.md, round 2).
     if upsample_algo == "direct_use":
         sdf_coarse = query_sdf(d_coarse)
         *_, w_coarse = sdf_to_w(sdf_coarse, 1.0 / fixed_s_recp)

@@ -49,6 +49,10 @@ class UNISURF:
     def forward_surface(self, params, x):
         return self.implicit_surface.forward(params["implicit_surface"], x)
 
+    def forward_surface_fast(self, params, x):
+        """Gradient-free occupancy-logit query (fused Pallas kernel on TPU)."""
+        return self.implicit_surface.forward_query(params["implicit_surface"], x)
+
     def forward_with_nablas(self, params, x):
         return self.implicit_surface.forward_with_nablas(params["implicit_surface"], x)
 

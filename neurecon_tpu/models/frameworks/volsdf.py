@@ -118,6 +118,8 @@ def fine_sample(query_sdf_fn, init_dvals, rays_o, rays_d,
         # --- upsample ∝ error bound for ALL rays (converged lanes wasted) ---
         upsampled = sample_pdf(None, d_vals, bounds, N_up + 2, det=True)[..., 1:-1]
         new_sdf = query(upsampled)
+        # concat+sort beats a comparison-count merge here on real TPU
+        # (see neus.neus_upsample NOTE / docs/performance.md)
         d_vals = jnp.concatenate([d_vals, upsampled], axis=-1)
         sdf = jnp.concatenate([sdf, new_sdf], axis=-1)
         sort_idx = jnp.argsort(d_vals, axis=-1)
@@ -207,6 +209,15 @@ class VolSDF:
 
     def forward_surface(self, params, x):
         sdf = self.implicit_surface.forward(params["implicit_surface"], x)
+        if self.use_sphere_bg:
+            return jnp.minimum(sdf,
+                               self.obj_bounding_radius - jnp.linalg.norm(x, axis=-1))
+        return sdf
+
+    def forward_surface_fast(self, params, x):
+        """Gradient-free sdf query (fused Pallas kernel on TPU); the sphere-bg
+        min-trick is a cheap elementwise op applied outside the kernel."""
+        sdf = self.implicit_surface.forward_query(params["implicit_surface"], x)
         if self.use_sphere_bg:
             return jnp.minimum(sdf,
                                self.obj_bounding_radius - jnp.linalg.norm(x, axis=-1))

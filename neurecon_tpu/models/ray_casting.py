@@ -155,7 +155,10 @@ def make_surface_render_fn(model, ray_casting_algo: str = "sphere_tracing",
         view_dirs = rays_d if use_view_dirs else None
 
         def query(x):
-            return model.forward_surface(params, x)
+            # casting is gradient-free: take the fused-kernel path when the
+            # framework provides one (all three do)
+            fast = getattr(model, "forward_surface_fast", None)
+            return (fast or model.forward_surface)(params, x)
 
         if ray_casting_algo == "root_finding":
             d_pred, pt_pred, mask, _ = root_finding_surface_points(

@@ -20,9 +20,19 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def fused_mlp_enabled() -> bool:
+    """Production gate for the fused kernel: on only when running on real TPU
+    hardware (interpreter mode off-TPU is for tests) and not disabled via
+    NEURECON_FUSED_MLP=0 (the A/B switch used by bench_ablate)."""
+    if os.environ.get("NEURECON_FUSED_MLP", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _round_up(x: int, m: int) -> int:

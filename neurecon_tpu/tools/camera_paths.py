@@ -1,24 +1,92 @@
-"""Camera-path generation for free-viewpoint rendering — pure numpy/scipy.
+"""Camera-path generation for free-viewpoint rendering — pure numpy.
 
-The five paths of the reference tools/render_view.py:
-  * spiral            (:280-285): NeRF-like spiral about the average pose
-  * spherical_spiral  (:290-331): spherical spiral through 3 small-circle views
-  * small_circle      (:337-366): smoothed interpolation along a small circle
-  * interpolation     (:371-386): Slerp + lerp through all input views
-  * great_circle      (:391-426): smoothed interpolation along a great circle
-plus smoothed_motion_interpolation (:88-105) for accel/decel pacing.
+Provides the five path types of the reference CLI (tools/render_view.py
+--camera_path): spiral (:280-285), spherical_spiral (:290-331),
+small_circle (:337-366), interpolation (:371-386), great_circle (:391-426),
+plus the accelerate/cruise/decelerate angle pacing (:88-105).
+
+Decomposition here is orbit-centric: every circular path is "snap the key
+camera centers onto a common sphere, spin a start point about an axis by an
+angle schedule, look at the focus point" — one Rodrigues rotation helper and
+one orbit builder serve the three circle paths.
 """
 from __future__ import annotations
 
 import math
 
 import numpy as np
-from scipy.interpolate import interp1d
-from scipy.spatial.transform import Rotation as R
-from scipy.spatial.transform import Slerp
 
 from neurecon_tpu.utils.camera import look_at, normalize, view_matrix
 
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _rodrigues(axis: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    """Rotation matrices about unit `axis` [..., 3] by `angles` [...]:
+    R = I + sinθ·K + (1-cosθ)·K² (Rodrigues). Broadcasts over leading dims."""
+    axis = np.broadcast_to(axis, angles.shape + (3,))
+    kx, ky, kz = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = np.zeros_like(kx)
+    K = np.stack([
+        np.stack([zero, -kz, ky], -1),
+        np.stack([kz, zero, -kx], -1),
+        np.stack([-ky, kx, zero], -1),
+    ], -2)
+    s = np.sin(angles)[..., None, None]
+    c = np.cos(angles)[..., None, None]
+    return np.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+def _rotate(axis: np.ndarray, angles: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Rotate pts [..., 3] about axis by angles (leading dims broadcast)."""
+    return np.einsum("...ij,...j->...i", _rodrigues(axis, angles), pts)
+
+
+def _snap_to_sphere(centers: np.ndarray):
+    """Project key camera centers onto their common (max-radius) origin-centered
+    sphere. Returns (snapped [..., 3], radius)."""
+    norms = np.linalg.norm(centers, axis=-1)
+    radius = float(np.max(norms))
+    return centers * (radius / norms[..., None]), radius
+
+
+def _chord_to_arc_angle(p0: np.ndarray, p1: np.ndarray, radius: float) -> float:
+    """Central angle subtended by the chord p0→p1 on a sphere of `radius`."""
+    chord = float(np.linalg.norm(p1 - p0))
+    return float(np.arcsin(chord / (2.0 * radius)) * 2.0)
+
+
+def smoothed_motion_interpolation(full_range: float, num_samples: int,
+                                  uniform_proportion: float = 1 / 3.0):
+    """Angle schedule over [0, full_range]: uniform acceleration, constant
+    cruise, uniform deceleration (same pacing as ref render_view.py:88-105)."""
+    ramp_proportion = (1.0 - uniform_proportion) / 2.0
+    n_ramp = max(math.ceil(num_samples * ramp_proportion), 2)
+    n_cruise = max(math.ceil(num_samples * uniform_proportion), 2)
+    ramp_speed = np.arange(n_ramp)            # v = 0, 1, 2, ...
+    ramp_pos = np.cumsum(ramp_speed)           # x = ∫v
+    # total sweep = both ramps + cruise at peak speed; scale to full_range
+    scale = full_range / (2.0 * ramp_pos.max() + ramp_speed.max() * n_cruise)
+    ramp = ramp_pos * scale
+    cruise = np.linspace(ramp.max(), full_range - ramp.max(), n_cruise + 2)[1:-1]
+    return np.concatenate([ramp, cruise, full_range - np.flip(ramp)])
+
+
+def _orbit_path(start: np.ndarray, axis: np.ndarray, angles: np.ndarray,
+                focus=None) -> np.ndarray:
+    """c2w track orbiting `start` about `axis` by `angles`, looking at `focus`
+    (origin by default) with up = -axis (paths orbit 'under' their axis)."""
+    centers = _rotate(axis, angles, start)
+    if focus is None:
+        focus = np.zeros_like(centers)
+    return look_at(centers, focus, up=-axis)
+
+
+# ---------------------------------------------------------------------------
+# the five path types
+# ---------------------------------------------------------------------------
 
 def poses_avg(poses: np.ndarray) -> np.ndarray:
     center = poses[:, :3, 3].mean(0)
@@ -29,37 +97,15 @@ def poses_avg(poses: np.ndarray) -> np.ndarray:
 
 def c2w_track_spiral(c2w, up_vec, rads, focus: float, zrate: float, rots: int,
                      N: int):
-    """Spiral track looking at the point [0, 0, focus] in (center) camera
-    coordinates; OpenCV convention."""
-    c2w_tracks = []
-    rads = np.array(list(rads) + [1.0])
-    focus_in_cam = np.array([0, 0, focus, 1.0])
-    focus_in_world = np.dot(c2w[:3, :4], focus_in_cam)
-
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        cam_location = np.dot(
-            c2w[:3, :4],
-            np.array([np.cos(theta), np.sin(theta), np.sin(theta * zrate), 1.0])
-            * rads)
-        c2w_tracks.append(look_at(cam_location, focus_in_world, up=up_vec))
-    return np.stack(c2w_tracks)
-
-
-def smoothed_motion_interpolation(full_range, num_samples,
-                                  uniform_proportion=1 / 3.0):
-    """Angle sequence with uniform acceleration, cruise, deceleration."""
-    half_acc_proportion = (1 - uniform_proportion) / 2.0
-    num_uniform_acc = max(math.ceil(num_samples * half_acc_proportion), 2)
-    num_uniform = max(math.ceil(num_samples * uniform_proportion), 2)
-    seg_velocity = np.arange(num_uniform_acc)
-    seg_angle = np.cumsum(seg_velocity)
-    # full angle = 2*k*x_max + k*v_max*num_uniform
-    ratio = full_range / (2.0 * seg_angle.max() + seg_velocity.max() * num_uniform)
-    seg_acc = seg_angle * ratio
-    acc_angle = seg_acc.max()
-    seg_uniform = np.linspace(acc_angle, full_range - acc_angle,
-                              num_uniform + 2)[1:-1]
-    return np.concatenate([seg_acc, seg_uniform, full_range - np.flip(seg_acc)])
+    """NeRF-style spiral in the average-camera frame, looking at the point
+    [0, 0, focus] of that frame; OpenCV convention."""
+    rads = np.asarray(list(rads) + [1.0])
+    focus_world = c2w[:3, :4] @ np.array([0.0, 0.0, focus, 1.0])
+    thetas = np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]
+    offsets = np.stack([np.cos(thetas), np.sin(thetas),
+                        np.sin(thetas * zrate), np.ones_like(thetas)], -1)
+    centers = (offsets * rads) @ c2w[:3, :4].T
+    return np.stack([look_at(c, focus_world, up=up_vec) for c in centers])
 
 
 def path_spiral(c2ws: np.ndarray, num_views: int):
@@ -71,78 +117,62 @@ def path_spiral(c2ws: np.ndarray, num_views: int):
                             zrate=0.0, rots=1, N=num_views)
 
 
+def _circle_axis(snapped: np.ndarray) -> np.ndarray:
+    """Unit normal of the circle through 3 sphere points (CCW seen from it)."""
+    return normalize(np.cross(snapped[1] - snapped[0], snapped[2] - snapped[0]))
+
+
 def path_spherical_spiral(c2ws: np.ndarray, num_views: int, view_ids,
                           up_angle: float = np.pi / 3.0, n_rots: float = 2.2):
-    """3 views assumed on a small circle (CCW from above) -> spherical spiral."""
+    """Spiral on the view sphere: sweep `n_rots` turns about the 3-view circle
+    axis while tilting up to `up_angle` toward the pole."""
     assert len(view_ids) == 3
-    centers = c2ws[list(view_ids), :3, 3]
-    centers_norm = np.linalg.norm(centers, axis=-1)
-    radius = np.max(centers_norm)
-    centers = centers * radius / centers_norm[:, None]
-    up_vec = normalize(np.cross(centers[1] - centers[0], centers[2] - centers[0]))
+    snapped, _ = _snap_to_sphere(c2ws[list(view_ids), :3, 3])
+    axis = _circle_axis(snapped)
 
-    sphere_thetas = np.linspace(0, np.pi * 2.0 * n_rots, num_views)
-    sphere_phis = np.linspace(0, up_angle, num_views)
-    focus_center = np.zeros([3])
+    sweep = np.linspace(0.0, 2.0 * np.pi * n_rots, num_views)
+    tilt = np.linspace(0.0, up_angle, num_views)
 
-    rots_theta = R.from_rotvec(sphere_thetas[:, None] * up_vec[None, :])
-    render_centers = rots_theta.apply(centers[0])
-    horizontal_vec = normalize(np.cross(render_centers - focus_center[None, :],
-                                        up_vec[None, :], axis=-1))
-    rots_phi = R.from_rotvec(sphere_phis[:, None] * horizontal_vec)
-    render_centers = rots_phi.apply(render_centers)
-    return look_at(render_centers, focus_center[None, :], up=-up_vec)
+    centers = _rotate(axis, sweep, snapped[0])
+    # per-view tilt axis: horizontal (tangent) direction at each center
+    tilt_axes = normalize(np.cross(centers, axis[None, :], axis=-1))
+    centers = _rotate(tilt_axes, tilt, centers)
+    return look_at(centers, np.zeros_like(centers), up=-axis)
 
 
 def path_small_circle(c2ws: np.ndarray, num_views: int, view_ids):
-    """3 views on a small circle -> smoothed interpolation along it."""
+    """Smoothed sweep along the small circle through 3 key views."""
     assert len(view_ids) == 3
-    centers = c2ws[list(view_ids), :3, 3]
-    centers_norm = np.linalg.norm(centers, axis=-1)
-    radius = np.max(centers_norm)
-    centers = centers * radius / centers_norm[:, None]
-    vec0 = centers[1] - centers[0]
-    vec1 = centers[2] - centers[0]
-    up_vec = normalize(np.cross(vec0, vec1))
-    len_chord = np.linalg.norm(vec1, axis=-1)
-    full_angle = np.arcsin(len_chord / 2 / radius) * 2.0
-    all_angles = smoothed_motion_interpolation(full_angle, num_views)
-    rots = R.from_rotvec(all_angles[:, None] * up_vec[None, :])
-    centers = rots.apply(centers[0])
-    return look_at(centers, np.zeros_like(centers), up=-up_vec)
-
-
-def path_interpolation(c2ws: np.ndarray, num_views: int):
-    key_rots = R.from_matrix(c2ws[:, :3, :3])
-    key_times = list(range(len(key_rots)))
-    slerp = Slerp(key_times, key_rots)
-    interp = interp1d(key_times, c2ws[:, :3, 3], axis=0)
-    render_c2ws = []
-    for i in range(num_views):
-        time = float(i) / num_views * (len(c2ws) - 1)
-        c2w = np.eye(4)
-        c2w[:3, :3] = slerp(time).as_matrix()
-        c2w[:3, 3] = interp(time)
-        render_c2ws.append(c2w)
-    return np.stack(render_c2ws)
+    snapped, radius = _snap_to_sphere(c2ws[list(view_ids), :3, 3])
+    axis = _circle_axis(snapped)
+    full_angle = _chord_to_arc_angle(snapped[0], snapped[2], radius)
+    angles = smoothed_motion_interpolation(full_angle, num_views)
+    return _orbit_path(snapped[0], axis, angles)
 
 
 def path_great_circle(c2ws: np.ndarray, num_views: int, view01):
-    """2 views on a great circle -> smoothed interpolation along it."""
+    """Smoothed sweep along the great circle through 2 key views."""
     assert len(view01) == 2
-    view0, view1 = view01
-    c0 = c2ws[view0, :3, 3]
-    c1 = c2ws[view1, :3, 3]
-    radius = max(np.linalg.norm(c0), np.linalg.norm(c1))
-    c0 = c0 * radius / np.linalg.norm(c0)
-    c1 = c1 * radius / np.linalg.norm(c1)
-    up_vec = normalize(np.cross(c0, c1))
-    len_chord = np.linalg.norm(c0 - c1, axis=-1)
-    full_angle = np.arcsin(len_chord / 2 / radius) * 2.0
-    all_angles = smoothed_motion_interpolation(full_angle, num_views)
-    rots = R.from_rotvec(all_angles[:, None] * up_vec[None, :])
-    centers = rots.apply(c0)
-    return look_at(centers, np.zeros_like(centers), up=-up_vec)
+    snapped, radius = _snap_to_sphere(c2ws[list(view01), :3, 3])
+    axis = normalize(np.cross(snapped[0], snapped[1]))
+    full_angle = _chord_to_arc_angle(snapped[0], snapped[1], radius)
+    angles = smoothed_motion_interpolation(full_angle, num_views)
+    return _orbit_path(snapped[0], axis, angles)
+
+
+def path_interpolation(c2ws: np.ndarray, num_views: int):
+    """Slerp rotations + lerp translations through ALL input views."""
+    from scipy.interpolate import interp1d
+    from scipy.spatial.transform import Rotation, Slerp
+
+    key_times = np.arange(len(c2ws))
+    slerp = Slerp(key_times, Rotation.from_matrix(c2ws[:, :3, :3]))
+    lerp = interp1d(key_times, c2ws[:, :3, 3], axis=0)
+    times = np.arange(num_views, dtype=np.float64) / num_views * (len(c2ws) - 1)
+    out = np.broadcast_to(np.eye(4), (num_views, 4, 4)).copy()
+    out[:, :3, :3] = slerp(times).as_matrix()
+    out[:, :3, 3] = lerp(times)
+    return out
 
 
 def generate_camera_path(camera_path: str, c2ws: np.ndarray, num_views: int,
@@ -150,13 +180,13 @@ def generate_camera_path(camera_path: str, c2ws: np.ndarray, num_views: int,
     """Dispatch mirroring render_view's --camera_path choices."""
     if camera_path == "spiral":
         return path_spiral(c2ws, num_views)
+    if camera_path == "interpolation":
+        return path_interpolation(c2ws, num_views)
     ids = [int(v) for v in str(camera_inds).split(",")]
     if camera_path == "spherical_spiral":
         return path_spherical_spiral(c2ws, num_views, ids)
     if camera_path == "small_circle":
         return path_small_circle(c2ws, num_views, ids)
-    if camera_path == "interpolation":
-        return path_interpolation(c2ws, num_views)
     if camera_path == "great_circle":
         return path_great_circle(c2ws, num_views, ids[:2])
     raise RuntimeError(

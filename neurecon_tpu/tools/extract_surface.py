@@ -44,7 +44,7 @@ def main_function(args):
         {k: jnp.asarray(v) for k, v in layer.items()}
         for layer in surf_params["layers"]]}
 
-    extract_mesh(lambda x: surface.forward(surf_params, x),
+    extract_mesh(lambda x: surface.forward_query(surf_params, x),
                  volume_size=args.volume_size, level=args.level, N=args.N,
                  filepath=args.out, chunk=args.chunk, show_progress=True)
 

@@ -8,8 +8,12 @@ Mirrors the reference tools/render_view.py: checkpoint loading (auto-pick
 newest), optional surface-render swap (--use_surface_render sphere_tracing|
 root_finding, ~100x faster), optional radiance-net swap (--alter_radiance),
 resolution override with intrinsics rescale, five camera paths, rgb / depth /
-normal mp4 outputs. (Open3D offscreen mesh compositing is not available in
-this image; meshes can be rendered separately from the extracted .ply.)
+normal mp4 outputs, and mesh compositing: `--render_mesh mesh.ply` rasterizes
+the extracted mesh along the same camera path with the pure-numpy z-buffer
+renderer (tools/mesh_raster.py) and writes a side-by-side rgb&mesh video —
+the role Open3D's offscreen renderer plays in the reference
+(render_view.py:438-453,478-486; that GL stack has no place on a headless
+TPU host).
 """
 from __future__ import annotations
 
@@ -95,7 +99,15 @@ def main_function(args):
                                    **kwargs)
         normal_key = "normals_volume"
 
-    rgb_imgs, depth_imgs, normal_imgs = [], [], []
+    mesh = None
+    if args.get("render_mesh", None):
+        from neurecon_tpu.tools.mesh_raster import rasterize_mesh
+        from neurecon_tpu.utils.mesh import read_ply
+        mesh = read_ply(args.render_mesh)
+        log.info(f"=> Compositing mesh {args.render_mesh} "
+                 f"({len(mesh[0])} verts, {len(mesh[1])} faces)")
+
+    rgb_imgs, depth_imgs, normal_imgs, mesh_imgs = [], [], [], []
     rayschunk = int(args.get("rayschunk", 4096))
     for i, c2w in enumerate(render_c2ws):
         rays_o, rays_d, _ = get_rays(
@@ -108,6 +120,11 @@ def main_function(args):
         depth = np.nan_to_num(depth.reshape(H, W, 1), posinf=0.0)
         depth_imgs.append(depth / (depth.max() + 1e-10))
         normal_imgs.append(ret[normal_key].reshape(H, W, 3) / 2.0 + 0.5)
+        if mesh is not None:
+            from neurecon_tpu.tools.mesh_raster import rasterize_mesh
+            mrgb, _, _ = rasterize_mesh(mesh[0], mesh[1], np.asarray(c2w),
+                                        intrinsics, H, W)
+            mesh_imgs.append(mrgb)
         log.info(f"  rendered view {i + 1}/{len(render_c2ws)}")
 
     outbase = args.get("outbase", None) or args.expname
@@ -128,6 +145,11 @@ def main_function(args):
     io_util.save_video(both,
                        os.path.join(outdir, f"{outbase}_rgb&normal_{post_fix}.mp4"),
                        fps=int(args.get("fps", 30)))
+    if mesh_imgs:  # side-by-side rgb&mesh (ref render_view.py:478-486)
+        combo = np.concatenate([np.stack(rgb_imgs), np.stack(mesh_imgs)], axis=2)
+        io_util.save_video(combo,
+                           os.path.join(outdir, f"{outbase}_rgb&mesh_{post_fix}.mp4"),
+                           fps=int(args.get("fps", 30)))
     log.info(f"=> Wrote videos to {outdir}")
 
 
@@ -148,6 +170,8 @@ if __name__ == "__main__":
         parser.add_argument("--outbase", type=str, default=None)
         parser.add_argument("--outdir", type=str, default="./out")
         parser.add_argument("--use_surface_render", type=str, default=None)
+        parser.add_argument("--render_mesh", type=str, default=None,
+                            help="extracted .ply to rasterize + composite")
 
     config, _ = parse_cli(extra_args_fn=extra)
     main_function(config)

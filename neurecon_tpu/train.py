@@ -233,7 +233,7 @@ def main_function(args):
 
     def do_mesh(state, it):
         io_util.cond_mkdir(mesh_dir)
-        surface_fn = lambda x: model.implicit_surface.forward(
+        surface_fn = lambda x: model.implicit_surface.forward_query(
             state.params["implicit_surface"], x)
         extract_mesh(surface_fn,
                      volume_size=args.data.get("volume_size", 2.0),
@@ -246,6 +246,7 @@ def main_function(args):
     i_val = int(args.training.get("i_val", 500))
     i_val_mesh = int(args.training.get("i_val_mesh", 10000))
     i_log = int(args.training.get("i_log", 20))
+    i_param_hist = int(args.training.get("i_param_hist", -1))
     special_i_val_mesh = [3000, 5000, 7000]
     num_iters = int(args.training.num_iters)
 
@@ -294,6 +295,10 @@ def main_function(args):
             else:
                 state, metrics = run_step(state, jnp.asarray(idxs[0]), key)
             it += K_eff
+
+            # ---- optional param histograms (ref logger.py:130-133) ----
+            if i_param_hist > 0 and (it % i_param_hist) < K_eff and it >= i_param_hist:
+                logger.add_module_param("model", state.params, it)
 
             # ---- logging (host fetch only every >= i_log steps) ----
             if it >= next_log and metrics is not None:

@@ -48,6 +48,20 @@ class Logger:
         if self.tb is not None:
             self.tb.add_scalar(f"{category}/{k}", v, it)
 
+    def add_module_param(self, module_name: str, params, it: int):
+        """TB histograms for every leaf of a param pytree (ref logger.py:130-133,
+        which iterates nn.Module.named_parameters; here the pytree path plays
+        the parameter name)."""
+        if self.tb is None:
+            return
+        import jax
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+            self.tb.add_histogram(f"{module_name}/{name}",
+                                  np.asarray(leaf).ravel(), it)
+
     # ---------------- images ----------------
     def add_imgs(self, imgs: np.ndarray, class_name: str, it: int):
         """imgs: [B, H, W, C] or [H, W, C] float in [0, 1] (HWC — no torch CHW)."""

@@ -64,6 +64,20 @@ class TestLogger:
         assert os.path.exists(os.path.join(str(tmp_path), "imgs", "val", "rgb",
                                            "00000000_0.png"))
 
+    def test_add_module_param_histograms(self, tmp_path):
+        # with TB available, every pytree leaf becomes one histogram
+        lg = Logger(str(tmp_path), monitoring="tensorboard",
+                    monitoring_dir=str(tmp_path / "events"))
+        params = {"layers": [{"w": np.random.randn(4, 3), "b": np.zeros(4)}],
+                  "ln_s": np.ones(1)}
+        lg.add_module_param("model", params, 7)  # no crash; events written
+        if lg.tb is not None:
+            lg.tb.flush()
+            assert any(f.startswith("events") for f in
+                       os.listdir(str(tmp_path / "events")))
+        # no-TB logger: silent no-op
+        Logger(str(tmp_path), monitoring=None).add_module_param("m", params, 0)
+
 
 class TestSchedules:
     def _args(self, sched, num_iters=1000):

@@ -111,6 +111,58 @@ class TestSampling:
         s = np.asarray(sample_pdf(None, bins, w, 64, det=True))
         assert np.all(np.diff(s[0]) >= -1e-6)
 
+    def test_sample_pdf_sorted_samples_stochastic(self):
+        bins = jnp.linspace(0.0, 1.0, 33)[None].repeat(6, 0)
+        w = jax.random.uniform(jax.random.PRNGKey(4), (6, 32))
+        key = jax.random.PRNGKey(5)
+        s_sorted = np.asarray(sample_pdf(key, bins, w, 16, det=False,
+                                         sorted_samples=True))
+        s_plain = np.asarray(sample_pdf(key, bins, w, 16, det=False))
+        assert np.all(np.diff(s_sorted, axis=-1) >= -1e-6)
+        # same sample SET per row (u is sorted, not redrawn)
+        np.testing.assert_allclose(np.sort(s_plain, -1), s_sorted, atol=1e-6)
+
+    def test_searchsorted_large_rows_match_numpy(self):
+        # force the sort-based fallback path (M*N above the count limit)
+        from neurecon_tpu.ops import sampling as sampling_mod
+        rng = np.random.RandomState(7)
+        M = 1024
+        N = sampling_mod._COUNT_SEARCH_LIMIT // M + 1
+        a = np.sort(rng.rand(2, M), axis=-1)
+        v = rng.rand(2, N)
+        got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v)))
+        want = np.stack([np.searchsorted(a[i], v[i], side="left")
+                         for i in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_merge_sorted_equals_concat_sort(self):
+        from neurecon_tpu.ops import merge_sorted
+        rng = np.random.RandomState(11)
+        for (M, N) in [(64, 16), (5, 9), (1, 1), (16, 64)]:
+            a = np.sort(rng.rand(8, M).astype(np.float32), axis=-1)
+            b = np.sort(rng.rand(8, N).astype(np.float32), axis=-1)
+            got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+            want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+            np.testing.assert_allclose(got, want, atol=0)
+
+    def test_merge_sorted_cosorts_extras_and_handles_ties(self):
+        from neurecon_tpu.ops import merge_sorted
+        # duplicate depths across the two sequences: stable a-first merge
+        a = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
+        b = jnp.asarray([[0.5, 0.75]])
+        ea = jnp.asarray([[10.0, 11.0, 12.0, 13.0]])
+        eb = jnp.asarray([[20.0, 21.0]])
+        d, e = merge_sorted(a, b, (ea,), (eb,))
+        np.testing.assert_allclose(
+            np.asarray(d[0]), [0.0, 0.5, 0.5, 0.5, 0.75, 1.0])
+        np.testing.assert_allclose(
+            np.asarray(e[0]), [10.0, 11.0, 12.0, 20.0, 21.0, 13.0])
+        # every (depth, extra) pair is preserved
+        pairs_in = {(0.0, 10.0), (0.5, 11.0), (0.5, 12.0), (1.0, 13.0),
+                    (0.5, 20.0), (0.75, 21.0)}
+        pairs_out = set(zip(np.asarray(d[0]).tolist(), np.asarray(e[0]).tolist()))
+        assert pairs_in == pairs_out
+
 
 class TestCamera:
     def test_load_K_Rt_roundtrip(self):

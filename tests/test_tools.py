@@ -58,6 +58,54 @@ class TestCameraPaths:
         assert np.linalg.norm(avg[:3, 3] - c2ws[:, :3, 3].mean(0)) < 1e-5
 
 
+class TestMeshRaster:
+    def _camera(self, dist=3.0, f=200.0, H=120, W=160):
+        c2w = look_at(np.array([0.0, 0.0, -dist]), np.zeros(3))
+        K = np.array([[f, 0, W / 2.0, 0], [0, f, H / 2.0, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1.0]])
+        return c2w, K, H, W
+
+    def test_single_triangle_depth_and_coverage(self):
+        from neurecon_tpu.tools.mesh_raster import rasterize_mesh
+        c2w, K, H, W = self._camera()
+        # a big triangle in the z=0 plane centered at the origin
+        verts = np.array([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.7, 0.0]])
+        faces = np.array([[0, 1, 2]])
+        rgb, depth, mask = rasterize_mesh(verts, faces, c2w, K, H, W)
+        cy, cx = H // 2, W // 2
+        assert mask[cy, cx]
+        np.testing.assert_allclose(depth[cy, cx], 3.0, atol=1e-6)
+        assert not mask[2, 2] and not mask[-2, -2]  # corners empty
+        assert np.isinf(depth[2, 2])
+        # covered pixel count ~ projected area: f²·area/d² = 200²·0.6/9
+        area_px = mask.sum()
+        assert abs(area_px - 200.0 ** 2 * 0.6 / 9.0) / area_px < 0.05
+
+    def test_sphere_mesh_silhouette_and_occlusion(self):
+        from neurecon_tpu.tools.mesh_raster import rasterize_mesh
+        from neurecon_tpu.utils.mesh import marching_tetrahedra
+        c2w, K, H, W = self._camera(dist=3.0)
+        N, r = 48, 0.5
+        g = np.linspace(-0.8, 0.8, N)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        vals = np.sqrt(X**2 + Y**2 + Z**2) - r
+        verts, faces = marching_tetrahedra(vals)
+        verts = verts / (N - 1) * 1.6 - 0.8  # grid coords -> world
+        rgb, depth, mask = rasterize_mesh(verts, faces, c2w, K, H, W)
+        cy, cx = H // 2, W // 2
+        # front surface of the sphere: depth ~ dist - r (z-buffer keeps the
+        # near face, i.e. occlusion works)
+        np.testing.assert_allclose(depth[cy, cx], 3.0 - r, atol=0.05)
+        # silhouette radius in pixels ~ f * r / sqrt(d² - r²)
+        rows = np.where(mask.any(1))[0]
+        r_px_meas = (rows.max() - rows.min()) / 2.0
+        r_px = 200.0 * r / np.sqrt(3.0**2 - r**2)
+        assert abs(r_px_meas - r_px) < 3.0
+        # shading varies across the sphere (lambertian, not flat fill)
+        inside = rgb[mask]
+        assert inside.std() > 0.02
+
+
 class TestEvalMesh:
     def test_chamfer_zero_for_identical(self):
         from neurecon_tpu.tools.eval_mesh import chamfer_distance, sample_surface
