@@ -24,7 +24,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from neurecon_tpu.training import TrainState, grad_norms_by_module
+from neurecon_tpu.training import TrainState, extras_stats, grad_norms_by_module
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rays") -> Mesh:
@@ -78,7 +78,8 @@ def make_sharded_train_step(ray_loss_fn, optimizer, mesh: Mesh,
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"losses": {k: jnp.mean(v) for k, v in losses.items()},
-                   "grad_norms": grad_norms_by_module(grads)}
+                   "grad_norms": grad_norms_by_module(grads),
+                   "extras_stats": extras_stats(extras)}
         if isinstance(extras, dict) and "scalars" in extras:
             metrics["scalars"] = extras["scalars"]
         return TrainState(params=params, opt_state=opt_state, step=it + 1), metrics
@@ -129,7 +130,8 @@ def make_sharded_train_block(ray_loss_fn, optimizer, mesh: Mesh,
             updates, opt_state = optimizer.update(grads, st.opt_state, st.params)
             params = optax.apply_updates(st.params, updates)
             metrics = {"losses": {k2: jnp.mean(v) for k2, v in losses.items()},
-                       "grad_norms": grad_norms_by_module(grads)}
+                       "grad_norms": grad_norms_by_module(grads),
+                       "extras_stats": extras_stats(extras)}
             if isinstance(extras, dict) and "scalars" in extras:
                 metrics["scalars"] = extras["scalars"]
             return TrainState(params=params, opt_state=opt_state,

@@ -81,6 +81,10 @@ def main_function(args):
     log.info(f"=> Model params: {count_parameters(params)}")
 
     optimizer = make_optimizer(args, params)
+    from neurecon_tpu.models.base import make_schedule
+    lr_factor = make_schedule(args)
+    lr_cfg = args.training.lr
+    base_lr = float(lr_cfg["default"] if isinstance(lr_cfg, dict) else lr_cfg)
 
     # ---- checkpoints ----
     checkpoint_io = CheckpointIO(checkpoint_dir=os.path.join(exp_dir, "ckpts"))
@@ -310,6 +314,12 @@ def main_function(args):
                     logger.add("grad", k, v, it)
                 for k, v in m.get("scalars", {}).items():
                     logger.add("scalars", k, v, it)
+                # ref train.py:240,250-259: lr + intermediates' mean/min/max/norm
+                logger.add("learning rates", "whole",
+                           base_lr * float(lr_factor(it)), it)
+                for k, v in m.get("extras_stats", {}).items():
+                    name, stat = k.rsplit(".", 1)
+                    logger.add(f"extras_{name}", f"whole.{stat}", v, it)
                 dt = (time.time() - t_last_log) / max(it - it_last_log, 1)
                 t_last_log, it_last_log = time.time(), it
                 logger.add("perf", "sec_per_step", dt, it)

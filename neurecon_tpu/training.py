@@ -59,13 +59,37 @@ def grad_norms_by_module(grads) -> Dict[str, jnp.ndarray]:
     return out
 
 
+# intermediate tensors whose mean/min/max/norm get logged (ref train.py:250-259)
+_EXTRAS_STAT_KEYS = ("radiance", "alpha", "implicit_surface",
+                     "implicit_nablas_norm", "sigma_out", "radiance_out")
+
+
+def extras_stats(extras) -> Dict[str, jnp.ndarray]:
+    """mean/min/max/norm scalars of the render intermediates, computed on
+    device so they ride the metrics fetch (ref train.py:250-259 pulls each
+    tensor to host every step)."""
+    out = {}
+    if not isinstance(extras, dict):
+        return out
+    for n in _EXTRAS_STAT_KEYS:
+        v = extras.get(n)
+        if v is None:
+            continue
+        v = v.astype(jnp.float32)
+        out[f"{n}.mean"] = jnp.mean(v)
+        out[f"{n}.min"] = jnp.min(v)
+        out[f"{n}.max"] = jnp.max(v)
+        out[f"{n}.norm"] = jnp.sqrt(jnp.sum(v * v))
+    return out
+
+
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                     jit: bool = True) -> Callable:
     """loss_fn(params, batch, key, it) -> (total, (losses, extras)).
 
     Returns step(state, batch, key) -> (state, metrics) where metrics holds
-    scalar losses, per-module grad norms, and any extras['scalars'].
-    """
+    scalar losses, per-module grad norms, extras['scalars'], and
+    mean/min/max/norm of the render intermediates."""
 
     def step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
         it = state.step
@@ -79,7 +103,8 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
 
         metrics = {"losses": {k: jnp.mean(v) for k, v in losses.items()},
-                   "grad_norms": grad_norms_by_module(grads)}
+                   "grad_norms": grad_norms_by_module(grads),
+                   "extras_stats": extras_stats(extras)}
         if isinstance(extras, dict) and "scalars" in extras:
             metrics["scalars"] = extras["scalars"]
         new_state = TrainState(params=params, opt_state=opt_state, step=it + 1)
