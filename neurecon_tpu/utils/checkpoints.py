@@ -105,6 +105,8 @@ class CheckpointIO:
     def load_file(self, filename: Optional[str] = None,
                   ignore_keys=None, only_use_keys=None) -> dict:
         """filename None -> newest checkpoint in the dir (auto-resume);
+        URL -> downloaded to <ckpt_dir>/_zoo once and cached (the reference
+        routes URLs through torch model_zoo, checkpoints.py:104-114);
         returns {} when nothing exists."""
         if filename is None:
             ckpts = sorted_ckpts(self.checkpoint_dir)
@@ -112,12 +114,29 @@ class CheckpointIO:
                 log.info("CheckpointIO: no checkpoint found, starting fresh")
                 return {}
             path = ckpts[-1]
+        elif "://" in filename:
+            path = self._fetch_url(filename)
         else:
             path = filename if os.path.isabs(filename) or os.path.exists(filename) \
                 else os.path.join(self.checkpoint_dir, filename)
         with open(path, "rb") as f:
             data = pickle.load(f)
         log.info(f"CheckpointIO: loaded {path} (step {data.get('global_step')})")
+        return self._postprocess(data, ignore_keys, only_use_keys)
+
+    def _fetch_url(self, url: str) -> str:
+        """Download-once cache for checkpoint URLs (file:// works offline)."""
+        from urllib.parse import urlparse
+        from urllib.request import urlretrieve
+        cache_dir = os.path.join(self.checkpoint_dir, "_zoo")
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, os.path.basename(urlparse(url).path))
+        if not os.path.exists(path):
+            log.info(f"CheckpointIO: downloading {url}")
+            urlretrieve(url, path)
+        return path
+
+    def _postprocess(self, data, ignore_keys, only_use_keys):
         if "model" in data and (ignore_keys or only_use_keys):
             data["model"] = _filter_keys(data["model"], ignore_keys, only_use_keys)
         return {k: _to_device(v) if isinstance(v, (dict, list)) else v

@@ -42,6 +42,17 @@ class TestCheckpointIO:
         out = io.load_file(None)
         assert out["global_step"] == 11000
 
+    def test_url_loading_via_file_scheme(self, tmp_path):
+        src = CheckpointIO(checkpoint_dir=str(tmp_path / "src"))
+        p = src.save("m.pt", global_step=3, model={"w": np.ones(2)})
+        dst = CheckpointIO(checkpoint_dir=str(tmp_path / "dst"))
+        out = dst.load_file(f"file://{p}")
+        assert out["global_step"] == 3
+        assert os.path.exists(str(tmp_path / "dst" / "_zoo" / "m.pt"))
+        # second load hits the cache (no re-download path issues)
+        out2 = dst.load_file(f"file://{p}")
+        assert out2["global_step"] == 3
+
     def test_key_filters(self, tmp_path):
         io = CheckpointIO(str(tmp_path))
         io.save("x.pt", model=self._params())
