@@ -251,6 +251,15 @@ def main_function(args):
     i_val_mesh = int(args.training.get("i_val_mesh", 10000))
     i_log = int(args.training.get("i_log", 20))
     i_param_hist = int(args.training.get("i_param_hist", -1))
+    # optional profiler capture (SURVEY §5.1: the reference only logs wall
+    # time): NEURECON_PROFILE_STEPS='<start>:<stop>' (env var, or a
+    # training.profile_steps yaml key) writes a jax.profiler trace under
+    # exp_dir/profile for xprof/tensorboard
+    profile_steps = os.environ.get(
+        "NEURECON_PROFILE_STEPS", args.training.get("profile_steps", None))
+    prof_start = prof_stop = -1
+    if profile_steps:
+        prof_start, prof_stop = (int(v) for v in str(profile_steps).split(":"))
     special_i_val_mesh = [3000, 5000, 7000]
     num_iters = int(args.training.num_iters)
 
@@ -281,6 +290,22 @@ def main_function(args):
                     next_val += i_val
             while mesh_its and it >= mesh_its[0]:
                 do_mesh(state, mesh_its.pop(0))
+
+            # ---- optional profiler window ----
+            if prof_start >= 0 and it >= prof_start:
+                try:
+                    jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
+                    log.info(f"=> profiler trace started at it={it}")
+                except Exception as e:  # tunnel/backends without profiling
+                    log.warning(f"profiler unavailable: {e}")
+                prof_start = -1
+            if prof_stop >= 0 and it >= prof_stop:
+                try:
+                    jax.profiler.stop_trace()
+                    log.info(f"=> profiler trace written to {exp_dir}/profile")
+                except Exception:
+                    pass
+                prof_stop = -1
 
             # ---- K train steps in one dispatch ----
             K_eff = min(K, num_iters - it)
