@@ -1,7 +1,10 @@
-"""Analytic sphere scene — a file-free dataset for tests and benchmarks.
+"""Analytic scenes — file-free datasets for tests and benchmarks.
 
-Cameras on a ring looking at the origin; images rendered analytically from a
-lambertian sphere SDF, so ground-truth depth / normals / masks are exact.
+Cameras on a ring looking at the origin; images rendered on the host from an
+analytic lambertian SDF, so ground-truth depth / normals / masks are exact.
+Two shapes: `sphere` (closed-form ray intersection) and `torus` (genus-1,
+non-convex — a much stronger reconstruction oracle; rendered by vectorized
+numpy sphere tracing + bisection refinement against the exact SDF).
 Shares the SceneDataset interface of the real loaders (dataio/DTU.py:9-160):
 preloaded host arrays, `__getitem__` -> (idx, model_input, ground_truth).
 """
@@ -24,6 +27,49 @@ def _ray_sphere(rays_o, rays_d, radius):
     pts = rays_o + t[..., None] * rays_d
     normal = pts / (np.linalg.norm(pts, axis=-1, keepdims=True) + 1e-10)
     return hit, t, normal
+
+
+def torus_sdf(p, R=0.32, r=0.16):
+    """Exact torus SDF (axis = y): sqrt((|xz| - R)^2 + y^2) - r. Numpy, [..., 3]."""
+    q = np.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - R
+    return np.sqrt(q ** 2 + p[..., 1] ** 2) - r
+
+
+def torus_normal(p, R=0.32, r=0.16):
+    """Analytic gradient of torus_sdf, normalized."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    rho = np.sqrt(x ** 2 + z ** 2) + 1e-12
+    q = rho - R
+    m = np.sqrt(q ** 2 + y ** 2) + 1e-12
+    n = np.stack([q / m * x / rho, y / m, q / m * z / rho], axis=-1)
+    return n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+
+
+def _ray_march(rays_o, rays_d, sdf_fn, t_max, n_steps=256, eps=1e-5):
+    """Vectorized numpy sphere tracing + 16-step bisection refine.
+
+    rays_d must be unit-norm (so SDF values are valid step sizes). Returns
+    (hit_mask, depth): exact first-hit of the level set to ~1e-6.
+    """
+    t = np.zeros(rays_o.shape[:-1])
+    done = np.zeros_like(t, dtype=bool)
+    for _ in range(n_steps):
+        p = rays_o + t[..., None] * rays_d
+        d = sdf_fn(p)
+        done = done | (d < eps)
+        t = np.where(done, t, t + np.maximum(d, eps))
+        if np.all(done | (t > t_max)):
+            break
+    hit = done & (t <= t_max)
+    # bisection refine between the last outside point and the overshoot point
+    lo = np.maximum(t - 2 * eps, 0.0)
+    hi = t + 2 * eps
+    for _ in range(16):
+        mid = 0.5 * (lo + hi)
+        inside = sdf_fn(rays_o + mid[..., None] * rays_d) < 0
+        hi = np.where(inside, mid, hi)
+        lo = np.where(inside, lo, mid)
+    return hit, np.where(hit, 0.5 * (lo + hi), 0.0)
 
 
 def render_sphere_views(c2w_all, intrinsics, H, W, radius=0.5,
@@ -57,9 +103,45 @@ def render_sphere_views(c2w_all, intrinsics, H, W, radius=0.5,
     return np.stack(rgbs), np.stack(masks), np.stack(depths)
 
 
+def render_sdf_views(c2w_all, intrinsics, H, W, sdf_fn, normal_fn, t_max=6.0,
+                     light_dir=(0.5, -0.7, -0.5), albedo=(0.8, 0.3, 0.25)):
+    """Render [n, H*W, 3] lambertian images for an arbitrary analytic SDF."""
+    light = np.asarray(light_dir, np.float64)
+    light = light / np.linalg.norm(light)
+    albedo = np.asarray(albedo, np.float64)
+
+    jj, ii = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    dirs_cam = np.stack([(ii - cx) / fx, (jj - cy) / fy,
+                         np.ones_like(ii)], axis=-1).reshape(-1, 3)
+
+    rgbs, masks, depths = [], [], []
+    for c2w in c2w_all:
+        R, o = c2w[:3, :3], c2w[:3, 3]
+        dirs = dirs_cam @ R.T
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        rays_o = np.broadcast_to(o, dirs.shape)
+        hit, t = _ray_march(rays_o, dirs, sdf_fn, t_max)
+        pts = rays_o + t[..., None] * dirs
+        normal = normal_fn(pts)
+        lambert = np.clip(np.sum(normal * (-light), axis=-1), 0.0, 1.0)
+        shade = (0.25 + 0.75 * lambert)[..., None] * albedo
+        rgbs.append(np.where(hit[..., None], shade, 0.0).astype(np.float32))
+        masks.append(hit)
+        depths.append(np.where(hit, t, 0.0).astype(np.float32))
+    return np.stack(rgbs), np.stack(masks), np.stack(depths)
+
+
 def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
-                         focal_factor=1.2):
-    """Returns a dict of host numpy arrays describing the full scene."""
+                         focal_factor=1.2, shape="sphere"):
+    """Returns a dict of host numpy arrays describing the full scene.
+
+    shape='sphere': lambertian sphere of `radius` (closed-form intersection).
+    shape='torus':  y-axis torus with major/minor radii (0.64, 0.32)*radius —
+                    bounding radius ~= `radius`, so configs transfer unchanged.
+    """
     c2w_all = []
     for k in range(n_images):
         theta = 2 * np.pi * k / n_images
@@ -73,7 +155,17 @@ def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
     intr[0, 0] = intr[1, 1] = focal_factor * max(H, W)
     intr[0, 2], intr[1, 2] = W / 2.0, H / 2.0
 
-    rgb, mask, depth = render_sphere_views(c2w_all, intr, H, W, radius=radius)
+    if shape == "sphere":
+        rgb, mask, depth = render_sphere_views(c2w_all, intr, H, W, radius=radius)
+    elif shape == "torus":
+        R_maj, r_min = 0.64 * radius, 0.32 * radius
+        rgb, mask, depth = render_sdf_views(
+            c2w_all, intr, H, W,
+            sdf_fn=lambda p: torus_sdf(p, R_maj, r_min),
+            normal_fn=lambda p: torus_normal(p, R_maj, r_min),
+            t_max=cam_radius + 2.0 * radius)
+    else:
+        raise NotImplementedError(f"unknown synthetic shape: {shape}")
     return {
         "c2w": c2w_all,                                   # [n, 4, 4]
         "intrinsics": np.repeat(intr[None], n_images, 0),  # [n, 4, 4]
@@ -88,7 +180,8 @@ class SceneDataset:
     """Dataset-protocol wrapper over the analytic scene."""
 
     def __init__(self, data_dir=None, downscale=1.0, scale_radius=-1,
-                 n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0):
+                 n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
+                 shape="sphere"):
         H, W = int(H // downscale), int(W // downscale)
         # scale_radius semantics match the real loaders (max camera norm ends
         # up at scale_radius/1.1) — but the scene is analytic, so cameras are
@@ -97,7 +190,8 @@ class SceneDataset:
         if scale_radius > 0:
             cam_radius = scale_radius / 1.1
         scene = make_synthetic_scene(n_images=n_images, H=H, W=W, radius=radius,
-                                     cam_radius=cam_radius)
+                                     cam_radius=cam_radius, shape=shape)
+        self.shape, self.radius = shape, radius
         self.H, self.W = H, W
         self.n_images = n_images
         self.c2w_all = scene["c2w"]

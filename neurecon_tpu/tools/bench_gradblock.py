@@ -41,9 +41,13 @@ def main(M: int = 65536, K: int = 20):
         out, _ = jax.lax.scan(body, c0, None, length=K)
         return out
 
+    # XLA cost analysis counts a scan/while body ONCE regardless of trip
+    # count, so compare the K-rep program against a K=1 lowering to recover
+    # the true per-rep FLOPs (empirically flops(K) ≈ flops(1), both ≈ body).
     lowered = block.lower(params, x, jnp.zeros(()))
     compiled = lowered.compile()
-    flops = compiled.cost_analysis()["flops"]
+    flops_body = compiled.cost_analysis()["flops"]
+    flops = flops_body * K
 
     c = block(params, x, jnp.zeros(()))
     _ = float(c)  # warm + sync

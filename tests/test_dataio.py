@@ -325,3 +325,60 @@ class TestEndToEnd:
         args = _tiny_train_args(tmp_path, "custom", custom_scene["root"], True)
         main_function(args)
         assert os.path.exists(os.path.join(args.training.exp_dir, "ckpts"))
+
+
+class TestSyntheticTorus:
+    """The torus scene: exact SDF oracle for mask/depth and the GT mesher."""
+
+    def test_hits_on_level_set(self):
+        from neurecon_tpu.dataio.synthetic import (make_synthetic_scene,
+                                                   torus_sdf)
+        s = make_synthetic_scene(n_images=2, H=60, W=80, shape="torus")
+        K, c2w = s["intrinsics"][0], s["c2w"][0]
+        jj, ii = np.meshgrid(np.arange(60.0), np.arange(80.0), indexing="ij")
+        dirs = np.stack([(ii - K[0, 2]) / K[0, 0], (jj - K[1, 2]) / K[1, 1],
+                         np.ones_like(ii)], -1).reshape(-1, 3) @ c2w[:3, :3].T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        mask = s["object_mask"][0]
+        assert 0.02 < mask.mean() < 0.5
+        pts = c2w[:3, 3] + s["depth"][0][..., None] * dirs
+        assert np.abs(torus_sdf(pts[mask], 0.32, 0.16)).max() < 1e-4
+        # torus has a hole: some central pixels of some view must miss
+        assert not mask.all()
+
+    def test_normals_shade_consistently(self):
+        from neurecon_tpu.dataio.synthetic import torus_normal, torus_sdf
+        rng = np.random.RandomState(0)
+        p = rng.uniform(-0.6, 0.6, (2048, 3))
+        n = torus_normal(p)
+        eps = 1e-5
+        for ax in range(3):
+            dp = np.zeros(3)
+            dp[ax] = eps
+            fd = (torus_sdf(p + dp) - torus_sdf(p - dp)) / (2 * eps)
+            assert np.abs(fd - n[..., ax]).max() < 1e-3
+
+    def test_gt_mesh_tool(self, tmp_path):
+        import subprocess
+        import sys
+        out = str(tmp_path / "gt_torus.ply")
+        subprocess.run([sys.executable, "-m", "neurecon_tpu.tools.make_gt_mesh",
+                        "--shape", "torus", "--N", "64", "--out", out],
+                       check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        from neurecon_tpu.dataio.synthetic import torus_sdf
+        from neurecon_tpu.utils.mesh import read_ply
+        v, f = read_ply(out)
+        assert len(v) > 500 and len(f) > 500
+        # verts on the level set to within a grid cell (1.5 / 63)
+        assert np.abs(torus_sdf(v, 0.32, 0.16)).max() < 1.5 / 63
+
+    def test_dataset_dispatch_shape(self):
+        from neurecon_tpu.config import ConfigDict
+        from neurecon_tpu.dataio import get_data
+        args = ConfigDict(data=ConfigDict(
+            type="synthetic", shape="torus", downscale=1, n_images=2,
+            H=40, W=52))
+        ds = get_data(args)
+        assert ds.shape == "torus" and len(ds) == 2
+        idx, mi, gt = ds[0]
+        assert gt["rgb"].shape == (40 * 52, 3)
