@@ -20,3 +20,31 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache for every CLI entry point.
+
+    Flagship-step compiles cost minutes through a remote TPU compile service;
+    the persistent cache turns repeat invocations (train resume, eval tools,
+    bench reruns) into ~seconds (measured: 92 s -> 1.7 s compile+run for a
+    chained-matmul probe). Opt out / relocate with NEURECON_COMPILE_CACHE
+    (empty string disables); safe on CPU too.
+    """
+    import os
+    path = os.environ.get(
+        "NEURECON_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "neurecon_tpu", "xla"))
+    if not path:
+        return
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache setup break an import
+        pass
+
+
+_enable_compilation_cache()

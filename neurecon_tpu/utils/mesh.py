@@ -178,29 +178,44 @@ def read_ply(filepath: str):
 
 def query_grid(surface_fn: Callable, N: int, volume_size: float,
                chunk: int = 256 * 1024, show_progress: bool = False) -> np.ndarray:
-    """Evaluate surface_fn on an N^3 grid centered at the origin — jitted,
-    chunked device batches (the reference's GPU hot loop, mesh_util.py:102-110)."""
+    """Evaluate surface_fn on an N^3 grid centered at the origin.
+
+    TPU-native shape of the reference's GPU hot loop (mesh_util.py:102-110):
+    grid coordinates are generated ON DEVICE from the x-plane index (the only
+    host->device traffic is one scalar per call), a `lax.map` walks
+    `chunk`-sized point blocks inside one compiled program, and values come
+    back one x-slab at a time — a handful of dispatches instead of one
+    round-trip per 256k-point chunk through the TPU tunnel. One-shot CLI wall
+    time is dominated by the program compile either way; repeat invocations
+    hit the persistent compilation cache (see neurecon_tpu/__init__.py)."""
     import jax
     import jax.numpy as jnp
 
     s = float(volume_size)
-    axis = np.linspace(-s / 2.0, s / 2.0, N, dtype=np.float32)
-    fn = jax.jit(lambda pts: surface_fn(jnp.asarray(pts)))
+    step = s / (N - 1)
+    # x-slab height: ~8 blocks of `chunk` points per dispatch
+    rows = max(1, min(N, (8 * chunk) // (N * N)))
+    while N % rows:  # static shapes: every slab identical
+        rows -= 1
+    pts_per_slab = rows * N * N
+    n_blocks = -(-pts_per_slab // chunk)
+    pad = n_blocks * chunk - pts_per_slab
+
+    @jax.jit
+    def slab_vals(x0):
+        axis = jnp.arange(N, dtype=jnp.float32) * step - s / 2.0
+        xs = (x0 + jnp.arange(rows, dtype=jnp.float32)) * step - s / 2.0
+        xi, yi, zi = jnp.meshgrid(xs, axis, axis, indexing="ij")
+        pts = jnp.stack([xi, yi, zi], -1).reshape(-1, 3)
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+        vals = jax.lax.map(surface_fn, pts.reshape(n_blocks, chunk, 3))
+        return vals.reshape(-1)[:pts_per_slab]
 
     out = np.empty((N * N * N,), np.float32)
-    xi, yi, zi = np.meshgrid(axis, axis, axis, indexing="ij")
-    pts_all = np.stack([xi, yi, zi], -1).reshape(-1, 3)
-    n_total = pts_all.shape[0]
-    for i in range(0, n_total, chunk):
-        pts = pts_all[i:i + chunk]
-        pad = 0
-        if pts.shape[0] < chunk:
-            pad = chunk - pts.shape[0]
-            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)], 0)
-        vals = np.asarray(fn(pts))
-        out[i:i + chunk - pad] = vals[:chunk - pad]
-        if show_progress and (i // chunk) % 64 == 0:
-            log.info(f"  grid query {i}/{n_total}")
+    for i, x0 in enumerate(range(0, N, rows)):
+        out[x0 * N * N:(x0 + rows) * N * N] = np.asarray(slab_vals(x0))
+        if show_progress and i % 8 == 0:
+            log.info(f"  grid query slab {x0}/{N}")
     return out.reshape(N, N, N)
 
 
