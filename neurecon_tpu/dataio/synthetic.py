@@ -29,6 +29,14 @@ def _ray_sphere(rays_o, rays_d, radius):
     return hit, t, normal
 
 
+def torus_radii(radius: float):
+    """(major, minor) radii of the scene torus for a given bounding `radius`.
+
+    Single source of truth — the GT mesher (tools/make_gt_mesh.py) and the
+    scene renderer must agree or Chamfer numbers silently go wrong."""
+    return 0.64 * radius, 0.32 * radius
+
+
 def torus_sdf(p, R=0.32, r=0.16):
     """Exact torus SDF (axis = y): sqrt((|xz| - R)^2 + y^2) - r. Numpy, [..., 3]."""
     q = np.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - R
@@ -158,7 +166,7 @@ def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
     if shape == "sphere":
         rgb, mask, depth = render_sphere_views(c2w_all, intr, H, W, radius=radius)
     elif shape == "torus":
-        R_maj, r_min = 0.64 * radius, 0.32 * radius
+        R_maj, r_min = torus_radii(radius)
         rgb, mask, depth = render_sdf_views(
             c2w_all, intr, H, W,
             sdf_fn=lambda p: torus_sdf(p, R_maj, r_min),

@@ -80,6 +80,10 @@ def merge_sorted(d_a, d_b, extras_a=(), extras_b=()):
                          jnp.take_along_axis(va, ia_c, axis=-1),
                          jnp.take_along_axis(vb, ib_c, axis=-1))
 
+    if len(extras_a) != len(extras_b):
+        raise ValueError(
+            f"merge_sorted: extras_a/extras_b must pair up 1:1, got "
+            f"{len(extras_a)} vs {len(extras_b)}")
     merged = [pick(d_a, d_b)]
     for ea, eb in zip(extras_a, extras_b):
         merged.append(pick(ea, eb))

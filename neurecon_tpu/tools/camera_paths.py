@@ -55,7 +55,9 @@ def _snap_to_sphere(centers: np.ndarray):
 def _chord_to_arc_angle(p0: np.ndarray, p1: np.ndarray, radius: float) -> float:
     """Central angle subtended by the chord p0→p1 on a sphere of `radius`."""
     chord = float(np.linalg.norm(p1 - p0))
-    return float(np.arcsin(chord / (2.0 * radius)) * 2.0)
+    # float roundoff after _snap_to_sphere can push the ratio past 1.0 for
+    # near-antipodal key views, which would NaN the whole path
+    return float(np.arcsin(np.clip(chord / (2.0 * radius), -1.0, 1.0)) * 2.0)
 
 
 def smoothed_motion_interpolation(full_range: float, num_samples: int,

@@ -30,12 +30,15 @@ def main():
 
     import jax.numpy as jnp
 
-    # query_grid jit-compiles the query, so the SDF is written in jnp
+    # query_grid jit-compiles the query, so the SDF is written in jnp;
+    # the torus proportions come from the one shared derivation in
+    # dataio.synthetic (torus_radii) so GT mesh and rendered scene agree
     if args.shape == "sphere":
         def surface_fn(pts):
             return jnp.linalg.norm(pts, axis=-1) - args.radius
     else:
-        R_maj, r_min = 0.64 * args.radius, 0.32 * args.radius
+        from neurecon_tpu.dataio.synthetic import torus_radii
+        R_maj, r_min = torus_radii(args.radius)
 
         def surface_fn(pts):
             q = jnp.sqrt(pts[..., 0] ** 2 + pts[..., 2] ** 2) - R_maj

@@ -109,7 +109,9 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray, c2w: np.ndarray,
         p = tri_uv[sel]                       # [T, 3, 2]
         zt = tri_z[sel]                       # [T, 3]
         fid = face_ids[sel]
-        origin = np.floor(p.min(1)) + 0.5     # pixel-center of the bbox min
+        # sample at INTEGER pixel coordinates: get_rays lifts pixel (i, j)
+        # through image-plane point (i, j), not (i+0.5, j+0.5)
+        origin = np.floor(p.min(1))
 
         gy, gx = np.mgrid[0:B, 0:B]
         offs = np.stack([gx.ravel(), gy.ravel()], -1)        # [B², 2]
@@ -138,8 +140,8 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray, c2w: np.ndarray,
                  + b2 / zt[:, None, 2])
         depth = 1.0 / np.maximum(inv_z, 1e-12)
 
-        px = np.round(pix[..., 0] - 0.5).astype(np.int64)
-        py = np.round(pix[..., 1] - 0.5).astype(np.int64)
+        px = np.round(pix[..., 0]).astype(np.int64)
+        py = np.round(pix[..., 1]).astype(np.int64)
         valid = inside & (px >= 0) & (px < W) & (py >= 0) & (py < H) & (depth > 0)
         idx = (py * W + px)[valid]
         dep = depth[valid]

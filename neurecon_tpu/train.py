@@ -258,6 +258,7 @@ def main_function(args):
     profile_steps = os.environ.get(
         "NEURECON_PROFILE_STEPS", args.training.get("profile_steps", None))
     prof_start = prof_stop = -1
+    prof_active = False
     if profile_steps:
         prof_start, prof_stop = (int(v) for v in str(profile_steps).split(":"))
     special_i_val_mesh = [3000, 5000, 7000]
@@ -295,16 +296,18 @@ def main_function(args):
             if prof_start >= 0 and it >= prof_start:
                 try:
                     jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
+                    prof_active = True
                     log.info(f"=> profiler trace started at it={it}")
                 except Exception as e:  # tunnel/backends without profiling
                     log.warning(f"profiler unavailable: {e}")
                 prof_start = -1
-            if prof_stop >= 0 and it >= prof_stop:
+            if prof_stop >= 0 and prof_active and it >= prof_stop:
                 try:
                     jax.profiler.stop_trace()
                     log.info(f"=> profiler trace written to {exp_dir}/profile")
                 except Exception:
                     pass
+                prof_active = False
                 prof_stop = -1
 
             # ---- K train steps in one dispatch ----
@@ -319,10 +322,16 @@ def main_function(args):
                 idxs.append(int(perm[perm_pos]))
                 perm_pos += 1
             key = jax.random.fold_in(train_key, it)
-            if K_eff > 1:
+            if K_eff == K and K > 1:
                 state, metrics = run_block(state, jnp.asarray(idxs), key)
             else:
-                state, metrics = run_step(state, jnp.asarray(idxs[0]), key)
+                # tail block (num_iters % K) runs step-by-step: a [K_eff]-
+                # shaped block would trigger a one-off recompile of the full
+                # program (minutes through the remote compile service)
+                for j, idx in enumerate(idxs):
+                    state, metrics = run_step(
+                        state, jnp.asarray(idx),
+                        key if K_eff == 1 else jax.random.fold_in(key, j))
             it += K_eff
 
             # ---- optional param histograms (ref logger.py:130-133) ----
@@ -371,6 +380,13 @@ def main_function(args):
                            model=state.params, opt_state=state.opt_state)
         logger.save_stats("stats.p")
         sys.exit()
+    finally:
+        if prof_active:  # loop ended inside the capture window: flush it
+            try:
+                jax.profiler.stop_trace()
+                log.info(f"=> profiler trace written to {exp_dir}/profile")
+            except Exception:
+                pass
 
     checkpoint_io.save(f"final_{it:08d}.pt", global_step=it, epoch_idx=epoch_idx,
                        model=state.params, opt_state=state.opt_state)

@@ -125,15 +125,28 @@ class CheckpointIO:
         return self._postprocess(data, ignore_keys, only_use_keys)
 
     def _fetch_url(self, url: str) -> str:
-        """Download-once cache for checkpoint URLs (file:// works offline)."""
+        """Download-once cache for checkpoint URLs (file:// works offline).
+
+        Keyed by a hash of the FULL url (two urls ending in 'latest.pt' must
+        not collide) and downloaded to a temp name + os.replace so an
+        interrupted transfer can never be mistaken for a cached checkpoint."""
+        import hashlib
         from urllib.parse import urlparse
         from urllib.request import urlretrieve
         cache_dir = os.path.join(self.checkpoint_dir, "_zoo")
         os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(cache_dir, os.path.basename(urlparse(url).path))
+        digest = hashlib.sha1(url.encode()).hexdigest()[:12]
+        name = os.path.basename(urlparse(url).path) or "ckpt.pt"
+        path = os.path.join(cache_dir, f"{digest}_{name}")
         if not os.path.exists(path):
             log.info(f"CheckpointIO: downloading {url}")
-            urlretrieve(url, path)
+            tmp = path + ".part"
+            try:
+                urlretrieve(url, tmp)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         return path
 
     def _postprocess(self, data, ignore_keys, only_use_keys):

@@ -169,3 +169,32 @@ class TestExtractSurfaceCLI:
         verts, faces = read_ply(out)
         assert len(faces) > 100
         assert abs(np.median(np.linalg.norm(verts, axis=-1)) - 0.5) < 0.12
+
+
+class TestMeshRasterAlignment:
+    def test_raster_matches_analytic_pixel_convention(self):
+        """A rasterized sphere mesh must land on the same pixels as the
+        analytic renderer (get_rays lifts pixel (i,j) through image-plane
+        point (i,j)): a half-pixel sampling offset shifts the silhouette
+        centroid by ~0.5px, far above discretization noise."""
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.tools.mesh_raster import rasterize_mesh
+        from neurecon_tpu.utils.mesh import marching_tetrahedra
+        H, W, r = 120, 160, 0.5
+        scene = make_synthetic_scene(n_images=1, H=H, W=W, radius=r)
+        gt_mask = scene["object_mask"][0].reshape(H, W)
+
+        N = 96
+        g = np.linspace(-0.8, 0.8, N)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        verts, faces = marching_tetrahedra(np.sqrt(X**2 + Y**2 + Z**2) - r)
+        verts = verts / (N - 1) * 1.6 - 0.8
+        _, _, mask = rasterize_mesh(verts, faces, scene["c2w"][0],
+                                    scene["intrinsics"][0], H, W)
+
+        inter = (mask & gt_mask).sum()
+        union = (mask | gt_mask).sum()
+        assert inter / union > 0.97
+        yx_m = np.argwhere(mask).mean(0)
+        yx_g = np.argwhere(gt_mask).mean(0)
+        assert np.abs(yx_m - yx_g).max() < 0.25
