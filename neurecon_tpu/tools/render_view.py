@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import time
 
 import numpy as np
 
@@ -109,12 +110,14 @@ def main_function(args):
 
     rgb_imgs, depth_imgs, normal_imgs, mesh_imgs = [], [], [], []
     rayschunk = int(args.get("rayschunk", 4096))
+    t_start = time.time()
     for i, c2w in enumerate(render_c2ws):
         rays_o, rays_d, _ = get_rays(
             jax.random.PRNGKey(0), jnp.asarray(c2w, jnp.float32),
             jnp.asarray(intrinsics), H, W, N_rays=-1)
         ret = render_full_image(render_fn, params, rays_o, rays_d,
-                                jax.random.PRNGKey(i), rayschunk=rayschunk)
+                                jax.random.PRNGKey(i), rayschunk=rayschunk,
+                                microchunk=int(args.get("microchunk", 0)) or None)
         rgb_imgs.append(ret["rgb"].reshape(H, W, 3))
         depth = ret["depth_volume"] if "depth_volume" in ret else ret["depth"]
         depth = np.nan_to_num(depth.reshape(H, W, 1), posinf=0.0)
@@ -125,7 +128,10 @@ def main_function(args):
             mrgb, _, _ = rasterize_mesh(mesh[0], mesh[1], np.asarray(c2w),
                                         intrinsics, H, W)
             mesh_imgs.append(mrgb)
-        log.info(f"  rendered view {i + 1}/{len(render_c2ws)}")
+        log.info(f"  rendered view {i + 1}/{len(render_c2ws)} "
+                 f"(+{time.time() - t_start:.1f}s)")
+        if i == 0:  # view 1 includes program compile; time the steady state
+            t_start = time.time()
 
     outbase = args.get("outbase", None) or args.expname
     post_fix = f"{H}x{W}_{len(render_c2ws)}_{args.get('camera_path', 'interpolation')}"
@@ -160,6 +166,9 @@ if __name__ == "__main__":
         parser.add_argument("--num_views", type=int, default=60)
         parser.add_argument("--downscale", type=float, default=1)
         parser.add_argument("--rayschunk", type=int, default=4096)
+        parser.add_argument("--microchunk", type=int, default=0,
+                            help="rays per lax.map block inside one dispatch "
+                                 "(caps activation memory at large rayschunk)")
         parser.add_argument("--camera_path", type=str, default="interpolation")
         parser.add_argument("--camera_inds", type=str, default="11,15")
         parser.add_argument("--load_pt", type=str, default=None)

@@ -148,13 +148,21 @@ _RENDER_JIT_CACHE = {}  # (render_fn id, chunk, kwargs) -> jitted chunk renderer
 
 
 def render_full_image(render_fn, params, rays_o, rays_d, key,
-                      rayschunk: int = 4096, mesh=None, **render_call_kwargs):
+                      rayschunk: int = 4096, mesh=None, microchunk=None,
+                      **render_call_kwargs):
     """Render all rays of an image with a fixed-chunk jitted renderer.
 
     Replaces the reference's rayschunk host loop (neus.py:385): one compile
     (static chunk size, last chunk padded), host loop over chunks, numpy
     concatenation. render_fn: (params, rays_o [N,3], rays_d [N,3], key) ->
     (rgb, depth, extras).
+
+    `microchunk` (single-device path): inside each dispatched chunk a
+    `lax.map` walks microchunk-ray blocks sequentially, so peak activation
+    memory is set by the microchunk while dispatch count (the tunnel-RTT
+    cost) is set by the big rayschunk. The nablas VJP of a volume render
+    stores ~2.3 MB/ray of activations — chunk 16384 alone OOMs a 16 GB chip,
+    chunk 4096 alone pays 4x the dispatches; 16384/2048 gets both.
 
     With `mesh` (a 1-D 'rays' jax.sharding.Mesh), each chunk is sharded over
     the mesh's devices — the multi-chip validation/eval path (replaces the
@@ -174,7 +182,11 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     if mesh is not None:
         n_dev = mesh.devices.size
         rayschunk = ((rayschunk + n_dev - 1) // n_dev) * n_dev
-    cache_key = (id(render_fn), rayschunk, id(mesh),
+        microchunk = None  # micro-batching composes with sharding upstream
+    if microchunk and rayschunk % microchunk:
+        raise ValueError(f"rayschunk {rayschunk} must be a multiple of "
+                         f"microchunk {microchunk}")
+    cache_key = (id(render_fn), rayschunk, id(mesh), microchunk,
                  tuple(sorted(render_call_kwargs.items())))
     chunked = _RENDER_JIT_CACHE.get(cache_key)
     if chunked is None:
@@ -185,12 +197,23 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
             rs = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
             jit_kwargs["in_shardings"] = ((repl, rs, rs, repl) if uses_key
                                           else (repl, rs, rs))
+
+        def call(p, o, d, k):
+            if not microchunk or microchunk >= rayschunk:
+                return render_fn(p, o, d, k, **render_call_kwargs)
+            n_micro = rayschunk // microchunk
+
+            def body(od):
+                return render_fn(p, od[0], od[1], k, **render_call_kwargs)
+            out = jax.lax.map(body, (o.reshape(n_micro, microchunk, 3),
+                                     d.reshape(n_micro, microchunk, 3)))
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((n_micro * microchunk,) + x.shape[2:]), out)
+
         if uses_key:
-            chunked = jax.jit(lambda p, o, d, k: render_fn(
-                p, o, d, k, **render_call_kwargs), **jit_kwargs)
+            chunked = jax.jit(lambda p, o, d, k: call(p, o, d, k), **jit_kwargs)
         else:
-            chunked = jax.jit(lambda p, o, d: render_fn(
-                p, o, d, None, **render_call_kwargs), **jit_kwargs)
+            chunked = jax.jit(lambda p, o, d: call(p, o, d, None), **jit_kwargs)
         _RENDER_JIT_CACHE[cache_key] = chunked
 
     outs = []
@@ -205,8 +228,8 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
         chunk_out = {"rgb": rgb, "depth_volume": depth}
         chunk_out.update({k: v for k, v in extras.items()
                           if k not in ("rgb", "depth_volume")})
+        chunk_out = jax.device_get(chunk_out)  # ONE batched D2H per chunk
         outs.append(jax.tree_util.tree_map(
-            lambda x: np.asarray(x)[:rayschunk - pad] if pad else np.asarray(x),
-            chunk_out))
+            lambda x: x[:rayschunk - pad] if pad else x, chunk_out))
 
     return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}

@@ -35,3 +35,37 @@ def test_sharded_render_matches_single():
     np.testing.assert_allclose(np.asarray(extras_m["normals_volume"]),
                                np.asarray(extras_s["normals_volume"]),
                                rtol=2e-3, atol=1e-4)
+
+
+class TestMicrochunk:
+    def test_microchunk_equals_plain(self):
+        """lax.map micro-batching inside a dispatch must be bitwise-neutral."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from neurecon_tpu.training import render_full_image
+
+        def render_fn(p, o, d, k, **kw):
+            rgb = jnp.tanh(jnp.stack([o[:, 0] * d[:, 1], d[:, 0], o[:, 2]], -1))
+            return rgb, jnp.linalg.norm(o, axis=-1), {"normals_volume": d * 2}
+
+        rng = np.random.RandomState(3)
+        o = rng.randn(300, 3).astype(np.float32)
+        d = rng.randn(300, 3).astype(np.float32)
+        a = render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
+                              rayschunk=128)
+        b = render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
+                              rayschunk=128, microchunk=32)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_microchunk_must_divide(self):
+        import jax
+        import numpy as np
+        import pytest
+        from neurecon_tpu.training import render_full_image
+        with pytest.raises(ValueError):
+            render_full_image(lambda p, o, d, k: None, {},
+                              np.zeros((8, 3)), np.zeros((8, 3)),
+                              jax.random.PRNGKey(0), rayschunk=128,
+                              microchunk=48)
