@@ -24,6 +24,7 @@ def get_data(args, return_val: bool = False, val_downscale: float = 4.0):
         cfgs["H"] = args.data.get("H", 120)
         cfgs["W"] = args.data.get("W", 160)
         cfgs["shape"] = args.data.get("shape", "sphere")
+        cfgs["background"] = args.data.get("background", "black")
     else:
         raise NotImplementedError(dataset_type)
 

@@ -81,8 +81,10 @@ def _ray_march(rays_o, rays_d, sdf_fn, t_max, n_steps=256, eps=1e-5):
 
 
 def render_sphere_views(c2w_all, intrinsics, H, W, radius=0.5,
-                        light_dir=(0.5, -0.7, -0.5), albedo=(0.8, 0.3, 0.25)):
-    """Render [n, H*W, 3] lambertian images + [n, H*W] masks + [n, H*W] depth."""
+                        light_dir=(0.5, -0.7, -0.5), albedo=(0.8, 0.3, 0.25),
+                        bg_fn=None):
+    """Render [n, H*W, 3] lambertian images + [n, H*W] masks + [n, H*W] depth.
+    bg_fn(dirs)->rgb colors rays that miss the object (default black)."""
     light = np.asarray(light_dir, np.float64)
     light = light / np.linalg.norm(light)
     albedo = np.asarray(albedo, np.float64)
@@ -104,16 +106,32 @@ def render_sphere_views(c2w_all, intrinsics, H, W, radius=0.5,
         hit, t, normal = _ray_sphere(rays_o, dirs, radius)
         lambert = np.clip(np.sum(normal * (-light), axis=-1), 0.0, 1.0)
         shade = (0.25 + 0.75 * lambert)[..., None] * albedo
-        rgb = np.where(hit[..., None], shade, 0.0)
+        bg = bg_fn(dirs) if bg_fn is not None else 0.0
+        rgb = np.where(hit[..., None], shade, bg)
         rgbs.append(rgb.astype(np.float32))
         masks.append(hit)
         depths.append(np.where(hit, t, 0.0).astype(np.float32))
     return np.stack(rgbs), np.stack(masks), np.stack(depths)
 
 
+def envmap_color(dirs):
+    """Smooth direction-dependent background color (a procedural env map at
+    infinity). Low-frequency on purpose: exactly the function class the
+    NeRF++ inverted-sphere background is meant to absorb, so nomask/NeRF++
+    recipes (ref neus_nomask.yaml, volsdf_nerfpp.yaml) can be quality-tested
+    without real scans."""
+    d = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    r = 0.45 + 0.25 * np.sin(2.0 * d[..., 0] + 0.5) + 0.15 * d[..., 1]
+    g = 0.40 + 0.25 * np.sin(1.5 * d[..., 1]) - 0.10 * d[..., 2]
+    b = 0.55 + 0.25 * np.sin(2.5 * d[..., 2] + 1.0) + 0.10 * d[..., 0]
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
 def render_sdf_views(c2w_all, intrinsics, H, W, sdf_fn, normal_fn, t_max=6.0,
-                     light_dir=(0.5, -0.7, -0.5), albedo=(0.8, 0.3, 0.25)):
-    """Render [n, H*W, 3] lambertian images for an arbitrary analytic SDF."""
+                     light_dir=(0.5, -0.7, -0.5), albedo=(0.8, 0.3, 0.25),
+                     bg_fn=None):
+    """Render [n, H*W, 3] lambertian images for an arbitrary analytic SDF.
+    bg_fn(dirs)->rgb colors rays that miss the object (default black)."""
     light = np.asarray(light_dir, np.float64)
     light = light / np.linalg.norm(light)
     albedo = np.asarray(albedo, np.float64)
@@ -136,20 +154,24 @@ def render_sdf_views(c2w_all, intrinsics, H, W, sdf_fn, normal_fn, t_max=6.0,
         normal = normal_fn(pts)
         lambert = np.clip(np.sum(normal * (-light), axis=-1), 0.0, 1.0)
         shade = (0.25 + 0.75 * lambert)[..., None] * albedo
-        rgbs.append(np.where(hit[..., None], shade, 0.0).astype(np.float32))
+        bg = bg_fn(dirs) if bg_fn is not None else 0.0
+        rgbs.append(np.where(hit[..., None], shade, bg).astype(np.float32))
         masks.append(hit)
         depths.append(np.where(hit, t, 0.0).astype(np.float32))
     return np.stack(rgbs), np.stack(masks), np.stack(depths)
 
 
 def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
-                         focal_factor=1.2, shape="sphere"):
+                         focal_factor=1.2, shape="sphere", background="black"):
     """Returns a dict of host numpy arrays describing the full scene.
 
     shape='sphere': lambertian sphere of `radius` (closed-form intersection).
     shape='torus':  y-axis torus with major/minor radii (0.64, 0.32)*radius —
                     bounding radius ~= `radius`, so configs transfer unchanged.
+    background='black' | 'envmap' (smooth direction-dependent color at
+    infinity — the workload for nomask / NeRF++-background recipes).
     """
+    bg_fn = envmap_color if background == "envmap" else None
     c2w_all = []
     for k in range(n_images):
         theta = 2 * np.pi * k / n_images
@@ -164,14 +186,15 @@ def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
     intr[0, 2], intr[1, 2] = W / 2.0, H / 2.0
 
     if shape == "sphere":
-        rgb, mask, depth = render_sphere_views(c2w_all, intr, H, W, radius=radius)
+        rgb, mask, depth = render_sphere_views(c2w_all, intr, H, W,
+                                               radius=radius, bg_fn=bg_fn)
     elif shape == "torus":
         R_maj, r_min = torus_radii(radius)
         rgb, mask, depth = render_sdf_views(
             c2w_all, intr, H, W,
             sdf_fn=lambda p: torus_sdf(p, R_maj, r_min),
             normal_fn=lambda p: torus_normal(p, R_maj, r_min),
-            t_max=cam_radius + 2.0 * radius)
+            t_max=cam_radius + 2.0 * radius, bg_fn=bg_fn)
     else:
         raise NotImplementedError(f"unknown synthetic shape: {shape}")
     return {
@@ -189,7 +212,7 @@ class SceneDataset:
 
     def __init__(self, data_dir=None, downscale=1.0, scale_radius=-1,
                  n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
-                 shape="sphere"):
+                 shape="sphere", background="black"):
         H, W = int(H // downscale), int(W // downscale)
         # scale_radius semantics match the real loaders (max camera norm ends
         # up at scale_radius/1.1) — but the scene is analytic, so cameras are
@@ -198,7 +221,8 @@ class SceneDataset:
         if scale_radius > 0:
             cam_radius = scale_radius / 1.1
         scene = make_synthetic_scene(n_images=n_images, H=H, W=W, radius=radius,
-                                     cam_radius=cam_radius, shape=shape)
+                                     cam_radius=cam_radius, shape=shape,
+                                     background=background)
         self.shape, self.radius = shape, radius
         self.H, self.W = H, W
         self.n_images = n_images

@@ -382,3 +382,23 @@ class TestSyntheticTorus:
         assert ds.shape == "torus" and len(ds) == 2
         idx, mi, gt = ds[0]
         assert gt["rgb"].shape == (40 * 52, 3)
+
+
+class TestSyntheticEnvmap:
+    def test_envmap_background(self):
+        from neurecon_tpu.dataio.synthetic import (envmap_color,
+                                                   make_synthetic_scene)
+        s = make_synthetic_scene(n_images=2, H=40, W=52, background="envmap")
+        rgb = s["rgb"][0]
+        mask = s["object_mask"][0]
+        # background pixels carry the env color (non-black, smooth)
+        assert rgb[~mask].min() > 0.0
+        assert 0.2 < rgb[~mask].mean() < 0.8
+        # object pixels unchanged vs the black-background scene
+        s0 = make_synthetic_scene(n_images=2, H=40, W=52, background="black")
+        np.testing.assert_array_equal(rgb[mask], s0["rgb"][0][mask])
+        assert (s0["rgb"][0][~mask] == 0).all()
+        # env color is a pure function of direction with unit-norm invariance
+        d = np.array([[0.3, -0.8, 0.52]])
+        np.testing.assert_allclose(envmap_color(d), envmap_color(3.7 * d),
+                                   atol=1e-12)
