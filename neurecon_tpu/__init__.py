@@ -32,6 +32,12 @@ def _enable_compilation_cache():
     (empty string disables); safe on CPU too.
     """
     import os
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # CPU-only runs (tests, dev boxes): cached CPU AOT artifacts are
+        # machine-feature-sensitive here (the remote compile helper targets a
+        # different host profile -> "+prefer-no-scatter ... could lead to
+        # SIGILL" loader warnings), and CPU compiles are cheap anyway.
+        return
     path = os.environ.get(
         "NEURECON_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "neurecon_tpu", "xla"))
