@@ -274,7 +274,17 @@ def volume_render_rays(model: NeuS, params, rays_o, rays_d, key,
             d_vals_out = _stratified_outside_jitter(key_out, d_vals_out)
         d_vals_out = jnp.concatenate([d_mid, d_vals_out], axis=-1)  # sorted
         pts_out = rays_o[..., None, :] + rays_d[..., None, :] * d_vals_out[..., :, None]
-        r = jnp.linalg.norm(pts_out, axis=-1, keepdims=True)
+        # safe norm: the inside d_mid samples ride through this inverted-
+        # sphere parameterization too, and a ray through the exact scene
+        # origin (synthetic scenes have perfectly centered principal rays)
+        # puts a sample at r == 0. The resulting 0/0 NaN is masked out of the
+        # FORWARD by the where-merge below, but 0-cotangent x NaN-activation
+        # still poisons every nerf_outside parameter gradient (classic
+        # both-branches-of-where gotcha) — one such step NaN'd the whole
+        # background net. max(r2, 1e-12) has zero gradient at the clamp, so
+        # the fix is exact for every r > 1e-6.
+        r = jnp.sqrt(jnp.maximum(
+            jnp.sum(pts_out ** 2, axis=-1, keepdims=True), 1e-12))
         x_out = jnp.concatenate([pts_out / r, 1.0 / r], axis=-1)
         views_out = (jnp.broadcast_to(view_dirs[..., None, :], pts_out.shape)
                      if use_view_dirs else None)

@@ -203,3 +203,33 @@ class TestGetModel:
         rays_d = jnp.broadcast_to(jnp.array([0, 0, 1.0]), (4, 3))
         rgb, depth, extras = render(params, rays_o, rays_d, jax.random.PRNGKey(0))
         assert rgb.shape == (4, 3)
+
+
+class TestNerfPPOriginRay:
+    def test_grad_finite_for_ray_through_exact_origin(self):
+        """Regression: a ray through the EXACT scene origin (synthetic
+        cameras' principal rays) can put an inside sample at r == 0; the
+        inverted-sphere input 0/0 NaN was masked out of the forward by the
+        where-merge but poisoned every nerf_outside parameter gradient via
+        0-cotangent x NaN-activation. One such batch NaN'd the background
+        net in training (found at it=1059 of synthetic_quality_nomask)."""
+        model = tiny_model(use_outside_nerf=True)
+        params = model.init(jax.random.PRNGKey(0))
+        render = make_volume_render_fn(
+            model, N_samples=16, N_importance=16, N_outside=8, perturb=False,
+            detailed_output=False)
+        # principal ray: origin at exactly radius 3, aimed exactly at 0 —
+        # with near=2/far=4 the sample grid brackets depth 3.0 symmetrically,
+        # so a midpoint lands at the origin exactly
+        rays_o = jnp.array([[0.0, 0.0, -3.0], [0.1, 0.0, -3.0]])
+        rays_d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        tgt = jnp.zeros((2, 3))
+
+        def loss(p):
+            rgb, depth, _ = render(p, rays_o, rays_d, jax.random.PRNGKey(1))
+            return jnp.mean(jnp.abs(rgb - tgt))
+
+        val, g = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
