@@ -32,11 +32,16 @@ def _enable_compilation_cache():
     (empty string disables); safe on CPU too.
     """
     import os
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    platforms = (os.environ.get("JAX_PLATFORMS", "")
+                 or os.environ.get("JAX_PLATFORM_NAME", "")).lower()
+    if platforms and all(p.strip() in ("cpu", "") for p in platforms.split(",")):
         # CPU-only runs (tests, dev boxes): cached CPU AOT artifacts are
         # machine-feature-sensitive here (the remote compile helper targets a
         # different host profile -> "+prefer-no-scatter ... could lead to
         # SIGILL" loader warnings), and CPU compiles are cheap anyway.
+        # (When no platform is forced and no accelerator exists, JAX still
+        # falls back to CPU with the cache on — acceptable: entries are then
+        # compiled and consumed on the same host.)
         return
     path = os.environ.get(
         "NEURECON_COMPILE_CACHE",

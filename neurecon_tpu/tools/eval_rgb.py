@@ -61,7 +61,8 @@ def main_function(args):
             jax.random.PRNGKey(0), jnp.asarray(model_input["c2w"]),
             jnp.asarray(model_input["intrinsics"]), H, W, N_rays=-1)
         ret = render_full_image(render_fn, params, rays_o, rays_d,
-                                jax.random.PRNGKey(i), rayschunk=rayschunk)
+                                jax.random.PRNGKey(i), rayschunk=rayschunk,
+                                microchunk=int(args.get("microchunk", 0)) or None)
         p = psnr(ret["rgb"], gt["rgb"])
         psnrs.append(p)
         msg = f"view {i}: psnr={p:.2f}"
@@ -86,6 +87,8 @@ if __name__ == "__main__":
         parser.add_argument("--load_pt", type=str, default=None)
         parser.add_argument("--downscale", type=float, default=None)
         parser.add_argument("--rayschunk", type=int, default=4096)
+        parser.add_argument("--microchunk", type=int, default=0,
+                            help="rays per lax.map block inside one dispatch")
         parser.add_argument("--n_eval", type=int, default=10**9)
 
     config, _ = parse_cli(extra_args_fn=extra)

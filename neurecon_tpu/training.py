@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from neurecon_tpu.utils.console import log
+
 
 class TrainState(NamedTuple):
     params: Any
@@ -182,7 +184,15 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     if mesh is not None:
         n_dev = mesh.devices.size
         rayschunk = ((rayschunk + n_dev - 1) // n_dev) * n_dev
-        microchunk = None  # micro-batching composes with sharding upstream
+        if microchunk:
+            # not implemented under sharding; shrink rayschunk instead
+            log.warning("render_full_image: microchunk is ignored with a "
+                        "mesh — per-device memory is rayschunk/n_dev rays")
+            microchunk = None
+    if microchunk is not None and microchunk <= 0:
+        microchunk = None
+    if microchunk and microchunk >= rayschunk:
+        microchunk = None  # identical program; don't compile a duplicate
     if microchunk and rayschunk % microchunk:
         raise ValueError(f"rayschunk {rayschunk} must be a multiple of "
                          f"microchunk {microchunk}")
@@ -199,14 +209,19 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
                                           else (repl, rs, rs))
 
         def call(p, o, d, k):
-            if not microchunk or microchunk >= rayschunk:
+            if not microchunk:
                 return render_fn(p, o, d, k, **render_call_kwargs)
             n_micro = rayschunk // microchunk
 
-            def body(od):
-                return render_fn(p, od[0], od[1], k, **render_call_kwargs)
+            def body(xs):
+                ob, db, i = xs
+                # distinct key per block: a stochastic render_fn (perturb)
+                # must not repeat the same jitter across blocks
+                kb = None if k is None else jax.random.fold_in(k, i)
+                return render_fn(p, ob, db, kb, **render_call_kwargs)
             out = jax.lax.map(body, (o.reshape(n_micro, microchunk, 3),
-                                     d.reshape(n_micro, microchunk, 3)))
+                                     d.reshape(n_micro, microchunk, 3),
+                                     jnp.arange(n_micro)))
             return jax.tree_util.tree_map(
                 lambda x: x.reshape((n_micro * microchunk,) + x.shape[2:]), out)
 

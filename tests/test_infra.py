@@ -48,10 +48,22 @@ class TestCheckpointIO:
         dst = CheckpointIO(checkpoint_dir=str(tmp_path / "dst"))
         out = dst.load_file(f"file://{p}")
         assert out["global_step"] == 3
-        assert os.path.exists(str(tmp_path / "dst" / "_zoo" / "m.pt"))
+        # cache file is keyed by a hash of the full url + basename (two urls
+        # ending in the same basename must not collide)
+        zoo = [f for f in os.listdir(str(tmp_path / "dst" / "_zoo"))
+               if f.endswith("_m.pt")]
+        assert len(zoo) == 1
         # second load hits the cache (no re-download path issues)
         out2 = dst.load_file(f"file://{p}")
         assert out2["global_step"] == 3
+        # a DIFFERENT url with the same basename gets its own cache entry
+        src2 = CheckpointIO(checkpoint_dir=str(tmp_path / "src2"))
+        p2 = src2.save("m.pt", global_step=7, model={"w": np.zeros(2)})
+        out3 = dst.load_file(f"file://{p2}")
+        assert out3["global_step"] == 7
+        zoo = [f for f in os.listdir(str(tmp_path / "dst" / "_zoo"))
+               if f.endswith("_m.pt")]
+        assert len(zoo) == 2
 
     def test_key_filters(self, tmp_path):
         io = CheckpointIO(str(tmp_path))

@@ -69,3 +69,27 @@ class TestMicrochunk:
                               np.zeros((8, 3)), np.zeros((8, 3)),
                               jax.random.PRNGKey(0), rayschunk=128,
                               microchunk=48)
+
+    def test_microchunk_blocks_get_distinct_keys(self):
+        """A stochastic render_fn must not repeat jitter across lax.map
+        blocks (each block's key is fold_in(key, block_index))."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from neurecon_tpu.training import render_full_image
+
+        def render_fn(p, o, d, k, **kw):
+            r = jax.random.uniform(k, (o.shape[0],))
+            return jnp.zeros((o.shape[0], 3)), r, {}
+
+        o = np.zeros((128, 3), np.float32)
+        d = np.ones((128, 3), np.float32)
+        out = render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
+                                rayschunk=128, microchunk=32)
+        dep = out["depth_volume"].reshape(4, 32)
+        assert not np.allclose(dep[0], dep[1])
+        # degenerate microchunk values normalize instead of crashing
+        render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
+                          rayschunk=128, microchunk=-1)
+        render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
+                          rayschunk=128, microchunk=256)
