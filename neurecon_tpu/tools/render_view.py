@@ -86,8 +86,14 @@ def main_function(args):
     if use_surface:
         assert use_surface in ("sphere_tracing", "root_finding")
         from neurecon_tpu.models.ray_casting import make_surface_render_fn
-        cast_cfg = {"near": 0.0,
-                    "far": 2 * args.model.get("obj_bounding_radius", 1.0) * 1.2}
+        # cast range must cover camera -> far side of the object: derive it
+        # from the render path's own camera distances (a fixed 2R*1.2 was a
+        # bug — cameras orbit OUTSIDE the object bound, so the march stopped
+        # short of the surface and rendered nothing)
+        cam_dist = float(np.linalg.norm(np.asarray(render_c2ws)[:, :3, 3],
+                                        axis=-1).max())
+        far = 1.2 * (cam_dist + args.model.get("obj_bounding_radius", 1.0))
+        cast_cfg = {"near": 0.0, "far": far}
         if use_surface == "root_finding":
             cast_cfg["N_steps"] = 128
         render_fn = make_surface_render_fn(model, ray_casting_algo=use_surface,

@@ -198,3 +198,74 @@ class TestMeshRasterAlignment:
         yx_m = np.argwhere(mask).mean(0)
         yx_g = np.argwhere(gt_mask).mean(0)
         assert np.abs(yx_m - yx_g).max() < 0.25
+
+
+class TestRenderViewSurfaceContent:
+    def test_surface_render_video_is_not_black(self, tmp_path):
+        """Regression: render_view's surface-render cast range was fixed at
+        2R*1.2, which is SHORTER than the camera orbit radius — every
+        surface-render video came out all-black while timings looked great.
+        A geometric-init NeuS is already a radius-0.5 sphere, so the video
+        must show it."""
+        import os
+        import pickle
+        import imageio.v2 as imageio
+        import jax
+        from neurecon_tpu import config as config_lib
+        from neurecon_tpu.models.frameworks import get_model
+        from neurecon_tpu.tools.render_view import main_function
+
+        import sys
+        old = sys.argv
+        sys.argv = ["x", "--config",
+                    os.path.join(os.path.dirname(__file__), "..",
+                                 "configs", "synthetic_smoke.yaml")]
+        try:
+            args, _ = config_lib.parse_cli()
+        finally:
+            sys.argv = old
+        model, *_ = get_model(args)
+        params = model.init(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "init.pt")
+        with open(ckpt, "wb") as f:
+            pickle.dump({"model": jax.tree_util.tree_map(np.asarray, params)}, f)
+
+        args["load_pt"] = ckpt
+        args["outdir"] = str(tmp_path)
+        args["num_views"] = 3
+        args["camera_path"] = "small_circle"
+        args["camera_inds"] = "0,1,2"
+        args["downscale"] = 4
+        args["rayschunk"] = 4096
+        args["use_surface_render"] = "sphere_tracing"
+
+        # capture the cast range render_view passes to the caster: it must
+        # cover camera -> far side of the object (the old fixed 2R*1.2 = 2.4
+        # was SHORTER than the 3.0 camera orbit; a well-trained SDF then
+        # marched past `far` in one step, masked out, and rendered black —
+        # while an init-model render sneaks under the limit, so a content
+        # check alone cannot catch the bug)
+        import neurecon_tpu.models.ray_casting as rc
+        captured = {}
+        real = rc.make_surface_render_fn
+
+        def spy(model_, **kw):
+            captured.update(kw.get("ray_casting_cfgs") or {})
+            return real(model_, **kw)
+
+        rc.make_surface_render_fn = spy
+        try:
+            main_function(args)
+        finally:
+            rc.make_surface_render_fn = real
+        assert captured["far"] >= 3.0 + 1.0, captured
+
+        vids = [f for f in os.listdir(str(tmp_path))
+                if f.startswith(args.expname + "_rgb_") and
+                (f.endswith(".gif") or f.endswith(".mp4"))]
+        assert vids, os.listdir(str(tmp_path))
+        frames = imageio.mimread(str(tmp_path / vids[0]), memtest=False)
+        arr = np.stack(frames)
+        # the sphere fills a solid chunk of the frame and is lit
+        assert arr.max() > 40, f"all-black surface render (max={arr.max()})"
+        assert (arr.max(axis=-1) > 20).mean() > 0.01
