@@ -19,6 +19,13 @@ from neurecon_tpu.utils import mesh as mesh_util
 
 
 def main():
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor a forced platform even where sitecustomize overrides the env
+        # var (tests run this tool in a subprocess on CPU; grabbing the TPU
+        # there can collide with a concurrent training process)
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", choices=["sphere", "torus"], default="sphere")
     ap.add_argument("--radius", type=float, default=0.5,
