@@ -103,7 +103,16 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray, c2w: np.ndarray,
 
     for bi, B in enumerate(_BUCKETS):
         lo = 0 if bi == 0 else _BUCKETS[bi - 1]
-        sel = (bb_size > lo) & (bb_size <= B)
+        # the last bucket has no upper bound: faces still oversized after the
+        # subdivision cap (initial bbox > ~16k px) rasterize their first BxB
+        # window rather than silently disappearing
+        last = bi == len(_BUCKETS) - 1
+        sel = (bb_size > lo) if last else ((bb_size > lo) & (bb_size <= B))
+        if last and np.any(bb_size[sel] > B):
+            import warnings
+            warnings.warn(
+                f"mesh_raster: {int((bb_size[sel] > B).sum())} faces exceed "
+                f"the {B}px bucket after subdivision; truncating to {B}x{B}")
         if not np.any(sel):
             continue
         p = tri_uv[sel]                       # [T, 3, 2]

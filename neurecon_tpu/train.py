@@ -260,7 +260,14 @@ def main_function(args):
     prof_start = prof_stop = -1
     prof_active = False
     if profile_steps:
-        prof_start, prof_stop = (int(v) for v in str(profile_steps).split(":"))
+        try:
+            prof_start, prof_stop = (int(v) for v in str(profile_steps).split(":"))
+            if prof_stop <= prof_start or prof_start < 0:
+                raise ValueError(f"need 0 <= start < stop, got {profile_steps!r}")
+        except ValueError as e:
+            log.warning(f"ignoring malformed NEURECON_PROFILE_STEPS "
+                        f"(want '<start>:<stop>'): {e}")
+            prof_start = prof_stop = -1
     special_i_val_mesh = [3000, 5000, 7000]
     num_iters = int(args.training.num_iters)
 

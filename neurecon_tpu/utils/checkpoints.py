@@ -140,7 +140,11 @@ class CheckpointIO:
         path = os.path.join(cache_dir, f"{digest}_{name}")
         if not os.path.exists(path):
             log.info(f"CheckpointIO: downloading {url}")
-            tmp = path + ".part"
+            # unique temp per process: two concurrent fetchers of the same URL
+            # must not interleave writes or delete each other's partial file
+            import tempfile
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".part")
+            os.close(fd)
             try:
                 urlretrieve(url, tmp)
                 os.replace(tmp, path)

@@ -136,7 +136,7 @@ class TestSampling:
         np.testing.assert_array_equal(got, want)
 
     def test_merge_sorted_equals_concat_sort(self):
-        from neurecon_tpu.ops import merge_sorted
+        from neurecon_tpu.ops.sampling import merge_sorted
         rng = np.random.RandomState(11)
         for (M, N) in [(64, 16), (5, 9), (1, 1), (16, 64)]:
             a = np.sort(rng.rand(8, M).astype(np.float32), axis=-1)
@@ -146,7 +146,7 @@ class TestSampling:
             np.testing.assert_allclose(got, want, atol=0)
 
     def test_merge_sorted_cosorts_extras_and_handles_ties(self):
-        from neurecon_tpu.ops import merge_sorted
+        from neurecon_tpu.ops.sampling import merge_sorted
         # duplicate depths across the two sequences: stable a-first merge
         a = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
         b = jnp.asarray([[0.5, 0.75]])
