@@ -184,11 +184,12 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     if mesh is not None:
         n_dev = mesh.devices.size
         rayschunk = ((rayschunk + n_dev - 1) // n_dev) * n_dev
-        if microchunk:
-            # not implemented under sharding; shrink rayschunk instead
-            log.warning("render_full_image: microchunk is ignored with a "
-                        "mesh — per-device memory is rayschunk/n_dev rays")
-            microchunk = None
+        if microchunk and microchunk > 0:
+            # each lax.map block is itself sharded over the mesh (the block's
+            # ray axis carries the 'rays' partition), so per-device peak
+            # activation memory is microchunk/n_dev rays while dispatch count
+            # stays rayschunk-sized — same memory control as single-device
+            microchunk = ((int(microchunk) + n_dev - 1) // n_dev) * n_dev
     if microchunk is not None and microchunk <= 0:
         microchunk = None
     if microchunk and microchunk >= rayschunk:
@@ -219,9 +220,18 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
                 # must not repeat the same jitter across blocks
                 kb = None if k is None else jax.random.fold_in(k, i)
                 return render_fn(p, ob, db, kb, **render_call_kwargs)
-            out = jax.lax.map(body, (o.reshape(n_micro, microchunk, 3),
-                                     d.reshape(n_micro, microchunk, 3),
-                                     jnp.arange(n_micro)))
+            ob = o.reshape(n_micro, microchunk, 3)
+            db = d.reshape(n_micro, microchunk, 3)
+            if mesh is not None:
+                # re-lay the blocks so each block's RAY axis is the sharded
+                # one: the sequential lax.map walks blocks while every device
+                # holds microchunk/n_dev rays of the current block
+                from jax.sharding import NamedSharding, PartitionSpec
+                blk = NamedSharding(
+                    mesh, PartitionSpec(None, mesh.axis_names[0], None))
+                ob = jax.lax.with_sharding_constraint(ob, blk)
+                db = jax.lax.with_sharding_constraint(db, blk)
+            out = jax.lax.map(body, (ob, db, jnp.arange(n_micro)))
             return jax.tree_util.tree_map(
                 lambda x: x.reshape((n_micro * microchunk,) + x.shape[2:]), out)
 

@@ -37,6 +37,39 @@ def test_sharded_render_matches_single():
                                rtol=2e-3, atol=1e-4)
 
 
+def test_microchunk_composes_with_mesh():
+    """render_full_image(mesh=..., microchunk=...) — the multi-chip eval
+    memory-control path — must equal both the sharded-only and the
+    unsharded render (VERDICT r2 item 6: the microchunk-vs-mesh warning)."""
+    from tests.test_neus import tiny_model
+    from neurecon_tpu.training import render_full_image
+
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    render = make_volume_render_fn(model, N_samples=16, N_importance=16,
+                                   perturb=False, detailed_output=False,
+                                   calc_normal=True)
+    N = 200  # not a multiple of the chunking: exercises padding too
+    rng = np.random.RandomState(7)
+    rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, -3.0]), (N, 3))
+    th = jnp.linspace(-0.3, 0.3, N)
+    rays_d = jnp.stack([jnp.sin(th), jnp.zeros(N), jnp.cos(th)], -1)
+    key = jax.random.PRNGKey(1)
+
+    mesh = make_mesh(8)
+    plain = render_full_image(render, params, rays_o, rays_d, key,
+                              rayschunk=64)
+    sharded = render_full_image(render, params, rays_o, rays_d, key,
+                                rayschunk=64, mesh=mesh)
+    micro = render_full_image(render, params, rays_o, rays_d, key,
+                              rayschunk=64, mesh=mesh, microchunk=16)
+    for k in plain:
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=f"sharded != plain on {k}")
+        np.testing.assert_allclose(micro[k], plain[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=f"sharded+microchunk != plain on {k}")
+
+
 class TestMicrochunk:
     def test_microchunk_equals_plain(self):
         """lax.map micro-batching inside a dispatch must be bitwise-neutral."""
