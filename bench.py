@@ -1,14 +1,20 @@
-"""Benchmark: NeuS training throughput in rays/sec/chip on the flagship config.
+"""Benchmark: training throughput of ALL THREE frameworks + the render path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+The flagship NeuS train row prints LAST.
 
-Baseline: the PyTorch reference trains NeuS at 512 rays/step around ~3 it/s on
-an RTX 3090-class GPU (README.md:82-85, configs/neus.yaml:14), i.e. ~1.5k
-rays/s/GPU with ~128 samples/ray and second-order (eikonal) gradients.
+Baselines:
+  * train: the PyTorch reference trains 512 rays/step around ~3 it/s on an
+    RTX 3090-class GPU (ref README.md:82-85, configs/neus.yaml:14), i.e.
+    ~1.5k rays/s/GPU with ~128 samples/ray and second-order (eikonal)
+    gradients. The same derived number is used for all three frameworks
+    (the reference publishes only the one training-speed figure).
+  * render: the reference renders 60 NeuS volume-rendered frames @360x400
+    in 28 min = 28 s/frame (ref docs/usage.md:270-275).
 
 Measurement notes: the TPU here sits behind a tunnel where per-call dispatch
 and block_until_ready are unreliable, so K train steps run inside ONE jitted
-lax.scan and the loss scalar is fetched to host (a true sync). Best of
+lax.scan and a dependent scalar is fetched to host (a true sync). Best of
 several trials is reported to shed tunnel warm-up artifacts.
 """
 import json
@@ -17,35 +23,36 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_RAYS_PER_SEC = 1536.0  # 512 rays/step * 3 it/s (reference README)
+BASELINE_RAYS_PER_SEC = 1536.0   # 512 rays/step * 3 it/s (reference README)
+BASELINE_RENDER_S_PER_FRAME = 28.0  # 28 min / 60 frames @360x400 (ref usage.md)
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 1), "unit": unit,
+                      "vs_baseline": round(vs_baseline, 2)}), flush=True)
+
+
+def _measure_train(args, H, W, label):
+    """Build a framework's full train step from `args`, run K steps per
+    dispatch, return best-of-5 rays/sec."""
     from neurecon_tpu.dataio.synthetic import make_synthetic_scene
     from neurecon_tpu.models.base import make_optimizer
-    from neurecon_tpu.models.frameworks.neus import get_model, make_ray_loss_fn
+    from neurecon_tpu.models.frameworks import get_model, get_ray_loss_fn
     from neurecon_tpu.training import (init_train_state, make_train_step,
                                        sample_ray_batch)
-    from __graft_entry__ import _flagship_args
 
-    # DTU-scan65-like geometry: full-size NeuS (D=8/W=256 SDF + D=4/W=256
-    # radiance), 512 train rays/step, 64 coarse + 4x16 importance samples via
-    # official_solution upsampling, eikonal (grad-of-grad) loss — the exact
-    # per-step workload of configs/neus.yaml.
-    N_rays = 512
-    H, W = 1200, 1600
-    args, _, _ = _flagship_args(N_rays=N_rays)
-
-    model, trainer_factory, kw_train, _, _ = get_model(args)
+    N_rays = int(args.data.N_rays)
+    model, _, kw_train, _, _ = get_model(args)
     params = model.init(jax.random.PRNGKey(0))
     render_kwargs = dict(kw_train)
     render_kwargs.update({"H": H, "W": W})
-    ray_loss = make_ray_loss_fn(model, args, render_kwargs)
+    ray_loss = get_ray_loss_fn(args, model, render_kwargs)
     optimizer = make_optimizer(args, params)
     state = init_train_state(params, optimizer)
     step = make_train_step(ray_loss, optimizer, jit=False)
 
-    scene = make_synthetic_scene(n_images=1, H=H, W=W, radius=0.5, cam_radius=3.0)
+    scene = make_synthetic_scene(n_images=1, H=H, W=W, radius=0.5,
+                                 cam_radius=3.0)
     batch = {"c2w": scene["c2w"][:1], "intrinsics": scene["intrinsics"][:1],
              "rgb": scene["rgb"][:1], "object_mask": scene["object_mask"][:1]}
     rb = sample_ray_batch(jax.random.PRNGKey(0), batch, H, W, N_rays)
@@ -77,12 +84,12 @@ def main():
                 multi_step, K = cand, K_try
                 break
             except Exception as e:  # compile-service flake: back off, retry
-                print(f"# bench: K={K_try} attempt {attempt} failed "
+                print(f"# bench[{label}]: K={K_try} attempt {attempt} failed "
                       f"({str(e).splitlines()[0][:80]})", flush=True)
                 time.sleep(5 * (attempt + 1))
         if multi_step is not None:
             break
-    assert multi_step is not None, "all bench program sizes failed to compile"
+    assert multi_step is not None, f"all {label} program sizes failed to compile"
 
     best_dt = float("inf")
     for trial in range(5):
@@ -91,15 +98,103 @@ def main():
             jax.random.PRNGKey(2), trial))
         _ = float(last)  # host fetch: the only reliable sync on this platform
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return N_rays * K / best_dt
 
-    n_chips = 1  # bench runs on the single real chip
-    rays_per_sec_per_chip = N_rays * K / best_dt / n_chips
-    print(json.dumps({
-        "metric": "NeuS train throughput (512 rays/step, 64+64 samples, eikonal)",
-        "value": round(rays_per_sec_per_chip, 1),
-        "unit": "rays/sec/chip",
-        "vs_baseline": round(rays_per_sec_per_chip / BASELINE_RAYS_PER_SEC, 2),
-    }))
+
+def bench_neus_flagship():
+    """DTU-scan65-like geometry: full-size NeuS (D=8/W=256 SDF + D=4/W=256
+    radiance), 512 train rays/step, 64 coarse + 4x16 importance samples via
+    official_solution upsampling, eikonal (grad-of-grad) loss — the exact
+    per-step workload of configs/neus.yaml."""
+    from __graft_entry__ import _flagship_args
+    args, _, _ = _flagship_args(N_rays=512)
+    return _measure_train(args, 1200, 1600, "NeuS")
+
+
+def _quality_args(config_name):
+    from neurecon_tpu.config import load_yaml
+    args = load_yaml(f"configs/{config_name}")
+    return args, int(args.data.H), int(args.data.W)
+
+
+def bench_volsdf():
+    """Full-size VolSDF (D=8/W=256 SDF, error-bound fine_sample with the
+    10-step beta bisection, 128 coarse + 64 fine samples) — the per-step
+    workload of configs/volsdf.yaml."""
+    args, H, W = _quality_args("synthetic_quality_volsdf.yaml")
+    return _measure_train(args, H, W, "VolSDF")
+
+
+def bench_unisurf():
+    """Full-size UNISURF (root-finding caster + 8-step secant, 64 interval +
+    32 freespace samples, normal-smoothness reg) — the per-step workload of
+    configs/unisurf.yaml."""
+    args, H, W = _quality_args("synthetic_quality_unisurf.yaml")
+    return _measure_train(args, H, W, "UNISURF")
+
+
+def bench_render():
+    """Volume-render one full 360x400 NeuS frame (rgb+depth+normals) through
+    render_full_image — the tools/render_view.py workload at the reference's
+    published resolution (ref docs/usage.md:270-275)."""
+    from neurecon_tpu.training import render_full_image
+    from neurecon_tpu.models.frameworks.neus import get_model
+    from neurecon_tpu.ops import get_rays_at
+    from __graft_entry__ import _flagship_args
+
+    args, _, _ = _flagship_args(N_rays=512)
+    model, _, kw_train, _, render_factory = get_model(args)
+    params = model.init(jax.random.PRNGKey(0))
+    render = render_factory(detailed_output=False, calc_normal=True,
+                            **kw_train)
+
+    H, W = 360, 400
+    c2w = jnp.eye(4).at[2, 3].set(-3.0)
+    intr = jnp.eye(4).at[0, 0].set(500.0).at[1, 1].set(500.0) \
+        .at[0, 2].set(W / 2).at[1, 2].set(H / 2)
+    rays_o, rays_d = get_rays_at(jnp.arange(H * W), c2w, intr, H, W)
+
+    best = float("inf")
+    for trial in range(3):  # trial 0 pays the compile; best-of discards it
+        t0 = time.perf_counter()
+        render_full_image(render, params, rays_o, rays_d,
+                          jax.random.PRNGKey(trial), rayschunk=18000,
+                          microchunk=2250)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    results = []
+
+    for name, fn in (("VolSDF", bench_volsdf), ("UNISURF", bench_unisurf)):
+        try:
+            rps = fn()
+            results.append((
+                f"{name} train throughput (512 rays/step, full sampler, "
+                f"full losses)", rps, "rays/sec/chip",
+                rps / BASELINE_RAYS_PER_SEC))
+        except Exception as e:
+            print(f"# bench[{name}] failed: {str(e).splitlines()[0][:120]}",
+                  flush=True)
+
+    try:
+        spf = bench_render()
+        results.append((
+            "NeuS full-frame volume render 360x400 (rgb+depth+normals)",
+            spf, "sec/frame", BASELINE_RENDER_S_PER_FRAME / spf))
+    except Exception as e:
+        print(f"# bench[render] failed: {str(e).splitlines()[0][:120]}",
+              flush=True)
+
+    # flagship last (and mandatory: a failure here fails the bench)
+    rps = bench_neus_flagship()
+    results.append((
+        "NeuS train throughput (512 rays/step, 64+64 samples, eikonal)",
+        rps, "rays/sec/chip", rps / BASELINE_RAYS_PER_SEC))
+
+    for metric, value, unit, vs in results:
+        _emit(metric, value, unit, vs)
 
 
 if __name__ == "__main__":
