@@ -269,3 +269,107 @@ class TestRenderViewSurfaceContent:
         # the sphere fills a solid chunk of the frame and is lit
         assert arr.max() > 40, f"all-black surface render (max={arr.max()})"
         assert (arr.max(axis=-1) > 20).mean() > 0.01
+
+
+class TestVisTools:
+    """Content-verified figures from the camera/surface visualization tools
+    and the real-checkpoint mode of test_volsdf_algo (VERDICT r2 item 8)."""
+
+    def _synthetic_cfg(self, framework="NeuS", n_images=6):
+        from neurecon_tpu.config import ConfigDict
+        cfg = {
+            "expname": "vis_test", "device_ids": -1,
+            "data": {"type": "synthetic", "batch_size": 1, "data_dir": None,
+                     "downscale": 1, "n_images": n_images, "H": 60, "W": 80,
+                     "N_rays": 32, "val_rayschunk": 256, "val_downscale": 2},
+            "model": {"framework": framework, "obj_bounding_radius": 1.0,
+                      "variance_init": 0.05, "upsample_algo": "official_solution",
+                      "N_upsample_iters": 1, "N_samples": 8, "N_importance": 8,
+                      "surface": {"D": 2, "W": 32, "skips": [],
+                                  "radius_init": 0.5, "embed_multires": 2},
+                      "radiance": {"D": 1, "W": 32, "skips": [],
+                                   "embed_multires": -1,
+                                   "embed_multires_view": -1}},
+            "training": {"with_mask": True, "w_mask": 1.0, "w_eikonal": 0.1,
+                         "speed_factor": 10.0, "lr": 5e-4},
+        }
+        if framework == "VolSDF":
+            cfg["data"]["scale_radius"] = 2.6
+            cfg["data"]["near"] = 0.0
+            cfg["data"]["far"] = 6.0
+            cfg["model"].update({"obj_bounding_radius": 3.0,
+                                 "outside_scene": "builtin",
+                                 "max_upsample_iter": 2, "fine_sample_mul": 2,
+                                 "W_geometry_feature": 32})
+            cfg["model"]["surface"]["radius_init"] = 1.0
+        return ConfigDict(cfg)
+
+    def _png_has_content(self, path):
+        import imageio.v2 as imageio
+        img = imageio.imread(path)
+        assert img.std() > 5, f"figure {path} is blank (std={img.std():.2f})"
+        # a real figure has a substantial fraction of non-background pixels
+        nonwhite = (np.asarray(img)[..., :3].min(-1) < 240).mean()
+        assert nonwhite > 0.02, f"figure {path} nearly empty ({nonwhite:.3%})"
+
+    def test_vis_camera_figure(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        from neurecon_tpu.dataio import get_data
+        from neurecon_tpu.tools.vis_camera import visualize
+
+        cfg = self._synthetic_cfg()
+        dataset = get_data(cfg)
+        extr = np.linalg.inv(np.asarray(dataset.c2w_all))
+        K = np.asarray(dataset.intrinsics_all[0])[:3, :3]
+        out = str(tmp_path / "cams.png")
+        fig = visualize(K, extr, frame_axes=True, show=False, save_path=out)
+        # one glyph per camera: rect+tri+4 apex edges+3 axes = 9 lines each,
+        # plus labels — count the drawn artists to catch an empty plot
+        ax = fig.axes[0]
+        assert len(ax.lines) >= 9 * len(extr)
+        assert len(ax.texts) == len(extr)
+        self._png_has_content(out)
+
+    def test_vis_surface_and_cam_from_ckpt(self, tmp_path):
+        import pickle
+        import jax
+        import matplotlib
+        matplotlib.use("Agg")
+        from neurecon_tpu.models.frameworks import get_model
+        from neurecon_tpu.tools.vis_surface_and_cam import main_function
+
+        cfg = self._synthetic_cfg()
+        model, *_ = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "ckpt.pt")
+        with open(ckpt, "wb") as f:
+            pickle.dump({"model": jax.tree_util.tree_map(np.asarray, params)},
+                        f)
+        cfg["mesh_N"] = 32
+        out = str(tmp_path / "surface_cams.png")
+        fig = main_function(cfg, load_pt=ckpt, show=False, save_path=out)
+        ax = fig.axes[0]
+        assert len(ax.collections) >= 1   # the shaded mesh
+        assert len(ax.texts) == 6         # per-camera labels
+        self._png_has_content(out)
+
+    def test_volsdf_algo_real_checkpoint(self, tmp_path):
+        import pickle
+        import jax
+        from neurecon_tpu.config import save_config
+        from neurecon_tpu.models.frameworks import get_model
+        from neurecon_tpu.tools.test_volsdf_algo import main
+
+        cfg = self._synthetic_cfg(framework="VolSDF")
+        model, *_ = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "volsdf.pt")
+        with open(ckpt, "wb") as f:
+            pickle.dump({"model": jax.tree_util.tree_map(np.asarray, params)},
+                        f)
+        cfg_path = str(tmp_path / "volsdf.yaml")
+        save_config(cfg, cfg_path)
+        out = str(tmp_path / "volsdf_algo_real.png")
+        main(save=out, load_pt=ckpt, config=cfg_path, N_init=64)
+        self._png_has_content(out)
