@@ -373,3 +373,40 @@ class TestVisTools:
         out = str(tmp_path / "volsdf_algo_real.png")
         main(save=out, load_pt=ckpt, config=cfg_path, N_init=64)
         self._png_has_content(out)
+
+
+class TestMaskedPSNRDecomposition:
+    def test_edge_band_dominates_when_interior_perfect(self):
+        """The masked-PSNR inversion mechanism: a perfect interior + a soft
+        silhouette ring must show ~all masked error in the edge band."""
+        from neurecon_tpu.tools.eval_rgb import (erode_mask,
+                                                 masked_psnr_decomposition,
+                                                 psnr)
+
+        H = W = 64
+        yy, xx = np.mgrid[0:H, 0:W]
+        r = np.sqrt((yy - 32) ** 2 + (xx - 32) ** 2)
+        mask = r < 20
+        gt = np.where(mask[..., None], 0.2, 1.0) * np.ones((H, W, 3))
+        pred = gt.copy()
+        ring = mask & ~erode_mask(mask, 2)
+        pred[ring] = 0.6  # soft half-background silhouette pixels
+
+        dec = masked_psnr_decomposition(pred.reshape(-1, 3), gt.reshape(-1, 3),
+                                        mask.reshape(-1), H, W, edge_px=2)
+        assert dec["edge_frac_of_masked_err"] > 0.999
+        assert dec["psnr_interior"] > 100  # perfect interior
+        assert dec["psnr_edge"] < 15
+        # and the full-image PSNR exceeds the masked PSNR — the inversion —
+        # purely because the denominator shrinks around the same ring error
+        full = psnr(pred.reshape(-1, 3), gt.reshape(-1, 3))
+        masked = psnr(pred.reshape(-1, 3), gt.reshape(-1, 3), mask.reshape(-1))
+        assert full > masked
+
+    def test_erode_mask_shrinks(self):
+        from neurecon_tpu.tools.eval_rgb import erode_mask
+        m = np.zeros((9, 9), bool)
+        m[2:7, 2:7] = True
+        e = erode_mask(m, 1)
+        assert e.sum() == 9  # 5x5 -> 3x3
+        assert erode_mask(m, 4).sum() == 0
