@@ -410,3 +410,41 @@ class TestMaskedPSNRDecomposition:
         e = erode_mask(m, 1)
         assert e.sum() == 9  # 5x5 -> 3x3
         assert erode_mask(m, 4).sum() == 0
+
+
+class TestEvalStaged:
+    def test_multiple_ckpts_one_process(self, tmp_path):
+        import pickle
+        import jax
+        import jax.numpy as jnp
+        from neurecon_tpu.models.frameworks import get_model
+        from neurecon_tpu.tools.eval_staged import evaluate_ckpts
+        from neurecon_tpu.utils.mesh import extract_mesh
+
+        cfg = TestVisTools()._synthetic_cfg()
+        model, *_ = get_model(cfg)
+        ckpts = []
+        for seed in (0, 1):
+            params = model.init(jax.random.PRNGKey(seed))
+            p = str(tmp_path / f"ck{seed}.pt")
+            with open(p, "wb") as f:
+                pickle.dump({"model": jax.tree_util.tree_map(np.asarray, params),
+                             "global_step": 1000 * (seed + 1)}, f)
+            ckpts.append(p)
+
+        gt = str(tmp_path / "gt.ply")
+        extract_mesh(lambda x: jnp.linalg.norm(x, axis=-1) - 0.5,
+                     volume_size=1.5, N=48, filepath=gt)
+
+        out = str(tmp_path / "staged.jsonl")
+        rows = evaluate_ckpts(cfg, ckpts, gt_mesh=gt, n_eval=1,
+                              rayschunk=1024, microchunk=256, mesh_N=32,
+                              n_samples=2000, out_path=out)
+        assert len(rows) == 2
+        for r in rows:
+            assert {"psnr", "psnr_masked", "psnr_interior", "chamfer",
+                    "accuracy", "completeness"} <= set(r)
+        assert rows[0]["step"] == 1000 and rows[1]["step"] == 2000
+        import json as _json
+        lines = [_json.loads(l) for l in open(out)]
+        assert len(lines) == 2
