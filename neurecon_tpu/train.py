@@ -353,6 +353,22 @@ def main_function(args):
                 # amortized at K=50 with ~30 logged scalars)
                 m = jax.tree_util.tree_map(
                     float, jax.device_get(metrics))
+                # NaN watchdog: on a non-finite loss, save a forensic
+                # checkpoint (params + opt state AT the failure) and halt
+                # instead of silently training a dead model for hours —
+                # long-horizon failure detection the reference lacks
+                # (its loop never checks, ref train.py:195-210)
+                if not np.isfinite(m["losses"]["total"]):
+                    log.error(f"non-finite loss at it={it}: "
+                              f"{m['losses']} — saving nan_{it:08d}.pt")
+                    checkpoint_io.save(f"nan_{it:08d}.pt", global_step=it,
+                                       epoch_idx=epoch_idx, model=state.params,
+                                       opt_state=state.opt_state)
+                    logger.save_stats("stats.p")
+                    if bool(args.training.get("halt_on_nan", True)):
+                        raise RuntimeError(
+                            f"training diverged (non-finite loss) at it={it}; "
+                            f"forensic checkpoint saved")
                 for k, v in m["losses"].items():
                     logger.add("losses", k, v, it)
                 for k, v in m["grad_norms"].items():
