@@ -113,7 +113,7 @@ class CheckpointIO:
             if not ckpts:
                 log.info("CheckpointIO: no checkpoint found, starting fresh")
                 return {}
-            path = ckpts[-1]
+            path = self._newest_by_step(ckpts)
         elif "://" in filename:
             path = self._fetch_url(filename)
         else:
@@ -123,6 +123,29 @@ class CheckpointIO:
             data = pickle.load(f)
         log.info(f"CheckpointIO: loaded {path} (step {data.get('global_step')})")
         return self._postprocess(data, ignore_keys, only_use_keys)
+
+    def _newest_by_step(self, ckpts: List[str]) -> str:
+        """Auto-resume target: the candidate with the highest global_step.
+
+        The reference's ordering (numbered < latest < final) assumes `latest`
+        is always newest, but after a crash between a numbered backup and the
+        next periodic save the backup can be AHEAD of `latest` (observed:
+        latest at step 92300 vs backup 00100000 after a mid-run kill) —
+        resuming from `latest` then silently redoes thousands of steps. Only
+        the tail candidates can hold the max (numbered are ascending), so at
+        most three pickles are inspected."""
+        tail = ckpts[-3:]
+        best, best_step = tail[-1], -1
+        for path in tail:
+            try:
+                with open(path, "rb") as f:
+                    step = int(pickle.load(f).get("global_step", 0))
+            except Exception as e:  # truncated file from a crash mid-save
+                log.warning(f"CheckpointIO: skipping unreadable {path}: {e}")
+                continue
+            if step >= best_step:  # ties keep reference order (later wins)
+                best, best_step = path, step
+        return best
 
     def _fetch_url(self, url: str) -> str:
         """Download-once cache for checkpoint URLs (file:// works offline).

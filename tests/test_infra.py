@@ -42,6 +42,24 @@ class TestCheckpointIO:
         out = io.load_file(None)
         assert out["global_step"] == 11000
 
+    def test_auto_resume_prefers_highest_step_after_crash(self, tmp_path):
+        """After a crash between a numbered backup and the next periodic
+        save, `latest` can be BEHIND the backup (observed mid-run: latest at
+        92300 vs backup 00100000); auto-resume must pick the max step, not
+        blind reference ordering."""
+        io = CheckpointIO(str(tmp_path))
+        io.save("00100000.pt", global_step=100000, model=self._params(7.0))
+        io.save("latest.pt", global_step=92300, model=self._params(1.0))
+        out = io.load_file(None)
+        assert out["global_step"] == 100000
+        np.testing.assert_allclose(
+            np.asarray(out["model"]["implicit_surface"]["layers"][0]["w"]), 7.0)
+        # a corrupt candidate (crash mid-save) is skipped, not fatal
+        with open(str(tmp_path / "final_00100050.pt"), "wb") as f:
+            f.write(b"\x80truncated")
+        out = io.load_file(None)
+        assert out["global_step"] == 100000
+
     def test_url_loading_via_file_scheme(self, tmp_path):
         src = CheckpointIO(checkpoint_dir=str(tmp_path / "src"))
         p = src.save("m.pt", global_step=3, model={"w": np.ones(2)})
