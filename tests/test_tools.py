@@ -1,4 +1,7 @@
 """Tests for tools: camera paths, mesh eval (Chamfer), PSNR, extract_surface."""
+import sys
+import time
+
 import numpy as np
 import pytest
 
@@ -448,3 +451,39 @@ class TestEvalStaged:
         import json as _json
         lines = [_json.loads(l) for l in open(out)]
         assert len(lines) == 2
+
+
+class TestSupervise:
+    def test_completion_passthrough(self):
+        from neurecon_tpu.tools.supervise import supervise
+        rc = supervise([sys.executable, "-c", "print('ok')"],
+                       stall_sec=60, poll_sec=0.2, log=lambda *a: None)
+        assert rc == 0
+
+    def test_stall_kill_and_restart_resumes(self, tmp_path):
+        """A child that stalls (no output) is killed and restarted; the
+        restarted child 'resumes' (here: sees the state file) and finishes."""
+        from neurecon_tpu.tools.supervise import supervise
+        state = tmp_path / "state"
+        script = (
+            "import os, sys, time\n"
+            f"p = {str(state)!r}\n"
+            "if os.path.exists(p):\n"
+            "    print('resumed'); sys.exit(0)\n"
+            "open(p, 'w').write('x')\n"
+            "print('first run', flush=True)\n"
+            "time.sleep(600)\n"  # stall: no further output
+        )
+        t0 = time.time()
+        rc = supervise([sys.executable, "-c", script], stall_sec=3,
+                       max_restarts=2, poll_sec=0.2, log=lambda *a: None)
+        assert rc == 0
+        assert time.time() - t0 < 60
+        assert state.exists()
+
+    def test_crash_no_restart_flag(self):
+        from neurecon_tpu.tools.supervise import supervise
+        rc = supervise([sys.executable, "-c", "import sys; sys.exit(3)"],
+                       stall_sec=60, poll_sec=0.2, restart_on_error=False,
+                       log=lambda *a: None)
+        assert rc == 3
