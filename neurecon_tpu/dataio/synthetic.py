@@ -53,6 +53,59 @@ def torus_normal(p, R=0.32, r=0.16):
     return n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
 
 
+def composite_params(radius: float):
+    """Primitive layout of the `composite` scene, in units of the scene
+    bounding `radius` (everything stays inside |x| <= 0.95*radius so the
+    sphere-scene configs transfer unchanged).
+
+    Single source of truth shared by the host renderer (this module) and the
+    GT mesher (tools/make_gt_mesh.py): a y-axis torus, a large ball capping
+    the torus hole from above (deep concave crevice ring where they meet),
+    a small ball and a rounded box both intersecting the tube (sharp union
+    creases), giving concavities, self-occlusion and multiple genus features
+    in one scene — far closer to a real scan than the sphere/torus oracles.
+    """
+    return {
+        "torus": {"R": 0.55 * radius, "r": 0.22 * radius},
+        "ball_a": {"c": (0.0, 0.32 * radius, 0.0), "r": 0.45 * radius},
+        "ball_b": {"c": (-0.55 * radius, -0.30 * radius, 0.30 * radius),
+                   "r": 0.25 * radius},
+        "box": {"c": (0.30 * radius, -0.30 * radius, -0.30 * radius),
+                "half": 0.22 * radius, "round": 0.04 * radius},
+    }
+
+
+def composite_sdf(p, radius=0.5, xp=np):
+    """Exact hard-min union SDF of the composite scene. `xp` may be numpy or
+    jax.numpy — the GT mesher evaluates the same expression under jit."""
+    prm = composite_params(radius)
+    q = xp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - prm["torus"]["R"]
+    d = xp.sqrt(q ** 2 + p[..., 1] ** 2) - prm["torus"]["r"]
+    for name in ("ball_a", "ball_b"):
+        c = xp.asarray(prm[name]["c"])
+        d = xp.minimum(
+            d, xp.linalg.norm(p - c, axis=-1) - prm[name]["r"])
+    b = prm["box"]
+    qb = xp.abs(p - xp.asarray(b["c"])) - b["half"]
+    outside = xp.linalg.norm(xp.maximum(qb, 0.0), axis=-1)
+    inside = xp.minimum(
+        xp.maximum(qb[..., 0], xp.maximum(qb[..., 1], qb[..., 2])), 0.0)
+    return xp.minimum(d, outside + inside - b["round"])
+
+
+def composite_normal(p, radius=0.5, h=1e-5):
+    """Central-difference gradient of composite_sdf, normalized (shading only;
+    Chamfer GT comes from meshing the SDF itself, never from these normals)."""
+    grads = []
+    for ax in range(3):
+        e = np.zeros(3)
+        e[ax] = h
+        grads.append((composite_sdf(p + e, radius)
+                      - composite_sdf(p - e, radius)) / (2 * h))
+    n = np.stack(grads, axis=-1)
+    return n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+
+
 def _ray_march(rays_o, rays_d, sdf_fn, t_max, n_steps=256, eps=1e-5):
     """Vectorized numpy sphere tracing + 16-step bisection refine.
 
@@ -168,6 +221,9 @@ def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
     shape='sphere': lambertian sphere of `radius` (closed-form intersection).
     shape='torus':  y-axis torus with major/minor radii (0.64, 0.32)*radius —
                     bounding radius ~= `radius`, so configs transfer unchanged.
+    shape='composite': torus + two balls + rounded box, hard-min union
+                    (composite_params) — concavities, union creases and
+                    self-occlusion inside the same bounding radius.
     background='black' | 'envmap' (smooth direction-dependent color at
     infinity — the workload for nomask / NeRF++-background recipes).
     """
@@ -194,6 +250,12 @@ def make_synthetic_scene(n_images=16, H=120, W=160, radius=0.5, cam_radius=3.0,
             c2w_all, intr, H, W,
             sdf_fn=lambda p: torus_sdf(p, R_maj, r_min),
             normal_fn=lambda p: torus_normal(p, R_maj, r_min),
+            t_max=cam_radius + 2.0 * radius, bg_fn=bg_fn)
+    elif shape == "composite":
+        rgb, mask, depth = render_sdf_views(
+            c2w_all, intr, H, W,
+            sdf_fn=lambda p: composite_sdf(p, radius),
+            normal_fn=lambda p: composite_normal(p, radius),
             t_max=cam_radius + 2.0 * radius, bg_fn=bg_fn)
     else:
         raise NotImplementedError(f"unknown synthetic shape: {shape}")

@@ -27,7 +27,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", choices=["sphere", "torus"], default="sphere")
+    ap.add_argument("--shape", choices=["sphere", "torus", "composite"],
+                    default="sphere")
     ap.add_argument("--radius", type=float, default=0.5,
                     help="scene bounding radius (matches data.radius)")
     ap.add_argument("--N", type=int, default=384)
@@ -43,6 +44,11 @@ def main():
     if args.shape == "sphere":
         def surface_fn(pts):
             return jnp.linalg.norm(pts, axis=-1) - args.radius
+    elif args.shape == "composite":
+        from neurecon_tpu.dataio.synthetic import composite_sdf
+
+        def surface_fn(pts):
+            return composite_sdf(pts, args.radius, xp=jnp)
     else:
         from neurecon_tpu.dataio.synthetic import torus_radii
         R_maj, r_min = torus_radii(args.radius)

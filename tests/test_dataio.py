@@ -384,6 +384,87 @@ class TestSyntheticTorus:
         assert gt["rgb"].shape == (40 * 52, 3)
 
 
+class TestSyntheticComposite:
+    """The composite scene (torus + balls + rounded box, hard-min union):
+    the hardest analytic oracle — concavities, union creases, occlusion."""
+
+    def test_sdf_exact_outside(self):
+        # hard-min union of exact SDFs is exact where the nearest primitive
+        # dominates: a far probe point's value equals its distance to the
+        # closest primitive surface (here the big ball, to 1e-12)
+        from neurecon_tpu.dataio.synthetic import (composite_params,
+                                                   composite_sdf)
+        prm = composite_params(0.5)
+        p = np.array([[0.0, 2.0, 0.0]])
+        c = np.asarray(prm["ball_a"]["c"])
+        expect = np.linalg.norm(p - c, axis=-1) - prm["ball_a"]["r"]
+        np.testing.assert_allclose(composite_sdf(p, 0.5), expect, atol=1e-12)
+
+    def test_numpy_jax_agree(self):
+        import jax.numpy as jnp
+        from neurecon_tpu.dataio.synthetic import composite_sdf
+        rng = np.random.RandomState(0)
+        p = rng.uniform(-1.0, 1.0, (4096, 3))
+        d_np = composite_sdf(p, 0.5)
+        d_jx = np.asarray(composite_sdf(jnp.asarray(p), 0.5, xp=jnp))
+        np.testing.assert_allclose(d_np, d_jx, atol=1e-5)
+
+    def test_hits_on_level_set(self):
+        from neurecon_tpu.dataio.synthetic import (composite_sdf,
+                                                   make_synthetic_scene)
+        s = make_synthetic_scene(n_images=3, H=60, W=80, shape="composite")
+        K, c2w = s["intrinsics"][0], s["c2w"][0]
+        jj, ii = np.meshgrid(np.arange(60.0), np.arange(80.0), indexing="ij")
+        dirs = np.stack([(ii - K[0, 2]) / K[0, 0], (jj - K[1, 2]) / K[1, 1],
+                         np.ones_like(ii)], -1).reshape(-1, 3) @ c2w[:3, :3].T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        mask = s["object_mask"][0]
+        assert 0.05 < mask.mean() < 0.6
+        pts = c2w[:3, 3] + s["depth"][0][..., None] * dirs
+        assert np.abs(composite_sdf(pts[mask], 0.5)).max() < 1e-4
+        # every view sees the object, none is fully covered
+        for m in s["object_mask"]:
+            assert 0.0 < m.mean() < 1.0
+
+    def test_normals_match_fd_of_sdf(self):
+        from neurecon_tpu.dataio.synthetic import (composite_normal,
+                                                   composite_sdf)
+        rng = np.random.RandomState(1)
+        p = rng.uniform(-0.9, 0.9, (2048, 3))
+        # keep away from crease lines where the gradient is discontinuous
+        keep = np.abs(composite_sdf(p, 0.5)) > 0.02
+        n = composite_normal(p[keep], 0.5)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-6)
+        # moving along the normal increases the SDF by ~eps (unit gradient)
+        eps = 1e-4
+        moved = composite_sdf(p[keep] + eps * n, 0.5) - composite_sdf(p[keep], 0.5)
+        assert np.abs(moved - eps).max() < 2e-5
+
+    def test_gt_mesh_tool(self, tmp_path):
+        import subprocess
+        import sys
+        out = str(tmp_path / "gt_composite.ply")
+        subprocess.run([sys.executable, "-m", "neurecon_tpu.tools.make_gt_mesh",
+                        "--shape", "composite", "--N", "64", "--out", out],
+                       check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        from neurecon_tpu.dataio.synthetic import composite_sdf
+        from neurecon_tpu.utils.mesh import read_ply
+        v, f = read_ply(out)
+        assert len(v) > 1000 and len(f) > 1000
+        assert np.abs(composite_sdf(v, 0.5)).max() < 1.5 / 63
+
+    def test_dataset_dispatch_shape(self):
+        from neurecon_tpu.config import ConfigDict
+        from neurecon_tpu.dataio import get_data
+        args = ConfigDict(data=ConfigDict(
+            type="synthetic", shape="composite", downscale=1, n_images=2,
+            H=40, W=52))
+        ds = get_data(args)
+        assert ds.shape == "composite" and len(ds) == 2
+        idx, mi, gt = ds[0]
+        assert gt["rgb"].shape == (40 * 52, 3)
+
+
 class TestSyntheticEnvmap:
     def test_envmap_background(self):
         from neurecon_tpu.dataio.synthetic import (envmap_color,
