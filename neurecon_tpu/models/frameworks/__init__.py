@@ -29,3 +29,13 @@ def get_ray_loss_fn(args, model, render_kwargs_train):
     else:
         raise NotImplementedError(framework)
     return make_ray_loss_fn(model, args, render_kwargs_train)
+
+
+def get_pipeline_fns(args, model, render_kwargs_train):
+    """Optional split of the train step into a gradient-free depth sampler +
+    a loss-given-samples fn, for the software-pipelined (overlap_sampler)
+    train block. Returns None for frameworks that don't support it yet."""
+    if args.model.framework == "NeuS":
+        from neurecon_tpu.models.frameworks.neus import make_pipeline_fns
+        return make_pipeline_fns(model, args, render_kwargs_train)
+    return None

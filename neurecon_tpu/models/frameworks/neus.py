@@ -198,6 +198,54 @@ def neus_upsample(model: NeuS, params, rays_o, rays_d, d_coarse, key,
     return jax.lax.stop_gradient(_d)
 
 
+def _prepare_rays(rays_o, rays_d, obj_bounding_radius,
+                  near_bypass=None, far_bypass=None):
+    """Flatten + normalize rays and intersect the bounding sphere — the shared
+    preamble of rendering and of the stand-alone depth sampler (so a pipelined
+    step computes identical near/far to the fused one)."""
+    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = near_far_from_sphere(rays_o, rays_d, r=obj_bounding_radius)
+    if near_bypass is not None:
+        near = jnp.full_like(near, near_bypass)
+    if far_bypass is not None:
+        far = jnp.full_like(far, far_bypass)
+    return rays_o, rays_d, near, far
+
+
+def compute_ray_samples(model: NeuS, params, rays_o, rays_d, key,
+                        *,
+                        obj_bounding_radius: float = 1.0,
+                        near_bypass: Optional[float] = None,
+                        far_bypass: Optional[float] = None,
+                        perturb: bool = False,
+                        fixed_s_recp: float = 1 / 64.0,
+                        N_samples: int = 64,
+                        N_importance: int = 64,
+                        upsample_algo: str = "official_solution",
+                        N_nograd_samples: int = 2048,
+                        N_upsample_iters: int = 4,
+                        **dummy_kwargs):
+    """Gradient-free section-depth sampler, callable OUTSIDE the render: the
+    coarse linspace + hierarchical upsample that volume_render_rays runs when
+    no d_all_override is given. Splits `key` exactly like the renderer does,
+    so sample(params, rays, key) + render(..., d_all_override=...) with the
+    SAME key reproduces the fused render bit for bit. Used by the pipelined
+    train step to overlap this (no-grad) work with the previous step's
+    backward (docs/performance.md round-3 roadmap)."""
+    rays_o, rays_d, near, far = _prepare_rays(
+        rays_o, rays_d, obj_bounding_radius, near_bypass, far_bypass)
+    key_up, _key_out = jax.random.split(key)
+    _t = jnp.linspace(0, 1, N_samples)
+    d_coarse = near * (1 - _t) + far * _t
+    return neus_upsample(
+        model, params, rays_o, rays_d, d_coarse, key_up,
+        upsample_algo=upsample_algo, N_importance=N_importance,
+        N_upsample_iters=N_upsample_iters, N_nograd_samples=N_nograd_samples,
+        fixed_s_recp=fixed_s_recp, perturb=perturb, near=near, far=far)
+
+
 def volume_render_rays(model: NeuS, params, rays_o, rays_d, key,
                        *,
                        obj_bounding_radius: float = 1.0,
@@ -215,36 +263,36 @@ def volume_render_rays(model: NeuS, params, rays_o, rays_d, key,
                        N_upsample_iters: int = 4,
                        calc_normal: bool = False,
                        detailed_output: bool = True,
+                       d_all_override=None,
                        **dummy_kwargs):
     """Render a flat batch of rays [N, 3] -> dict of per-ray outputs.
 
     Fully jittable; static config comes through keyword closure. rays_d need
     not be normalized (its norm is the pixel footprint ratio) — normalized here
-    like ref neus.py:172.
+    like ref neus.py:172. `d_all_override` (from compute_ray_samples, possibly
+    computed with slightly stale params by the pipelined train step) skips the
+    in-render sampler.
     """
-    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
-    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o, rays_d, near, far = _prepare_rays(
+        rays_o, rays_d, obj_bounding_radius, near_bypass, far_bypass)
     view_dirs = rays_d if use_view_dirs else None
-
-    near, far = near_far_from_sphere(rays_o, rays_d, r=obj_bounding_radius)
-    if near_bypass is not None:
-        near = jnp.full_like(near, near_bypass)
-    if far_bypass is not None:
-        far = jnp.full_like(far, far_bypass)
 
     key_up, key_out = jax.random.split(key)
 
-    # coarse samples
-    _t = jnp.linspace(0, 1, N_samples)
-    d_coarse = near * (1 - _t) + far * _t
+    if d_all_override is not None:
+        d_all = jax.lax.stop_gradient(
+            d_all_override.reshape(rays_o.shape[0], -1))
+    else:
+        # coarse samples
+        _t = jnp.linspace(0, 1, N_samples)
+        d_coarse = near * (1 - _t) + far * _t
 
-    # hierarchical up-sampling (gradient-free)
-    d_all = neus_upsample(
-        model, params, rays_o, rays_d, d_coarse, key_up,
-        upsample_algo=upsample_algo, N_importance=N_importance,
-        N_upsample_iters=N_upsample_iters, N_nograd_samples=N_nograd_samples,
-        fixed_s_recp=fixed_s_recp, perturb=perturb, near=near, far=far)
+        # hierarchical up-sampling (gradient-free)
+        d_all = neus_upsample(
+            model, params, rays_o, rays_d, d_coarse, key_up,
+            upsample_algo=upsample_algo, N_importance=N_importance,
+            N_upsample_iters=N_upsample_iters, N_nograd_samples=N_nograd_samples,
+            fixed_s_recp=fixed_s_recp, perturb=perturb, near=near, far=far)
 
     # section points & mid points (sdf on sections, radiance on mids)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * d_all[..., :, None]
@@ -348,9 +396,10 @@ def make_volume_render_fn(model: NeuS, **render_kwargs):
     for k in ("H", "W", "rayschunk", "netchunk", "batched"):
         render_kwargs.pop(k, None)
 
-    def render(params, rays_o, rays_d, key):
+    def render(params, rays_o, rays_d, key, d_all=None):
         prefix = rays_o.shape[:-1]
-        ret = volume_render_rays(model, params, rays_o, rays_d, key, **render_kwargs)
+        ret = volume_render_rays(model, params, rays_o, rays_d, key,
+                                 d_all_override=d_all, **render_kwargs)
         ret = {k: v.reshape(prefix + v.shape[1:]) for k, v in ret.items()}
         return ret["rgb"], ret["depth_volume"], ret
 
@@ -359,10 +408,11 @@ def make_volume_render_fn(model: NeuS, **render_kwargs):
 
 def compute_losses(model: NeuS, params, rays_o, rays_d, target_rgb, key, *,
                    render_fn, w_eikonal: float, with_mask: bool,
-                   w_mask: float = 0.0, target_mask=None, mask_ignore=None):
+                   w_mask: float = 0.0, target_mask=None, mask_ignore=None,
+                   d_all=None):
     """NeuS training losses (ref neus.py:417-485): L1 rgb + eikonal on all
     sample points + optional mask BCE on the clamped accumulation map."""
-    rgb, depth_v, extras = render_fn(params, rays_o, rays_d, key)
+    rgb, depth_v, extras = render_fn(params, rays_o, rays_d, key, d_all=d_all)
 
     nablas = extras["implicit_nablas"]
     nablas_norm = jnp.linalg.norm(nablas, axis=-1)
@@ -407,14 +457,46 @@ def make_ray_loss_fn(model: NeuS, args, render_kwargs_train: dict):
         model, detailed_output=True, **{k: v for k, v in render_kwargs_train.items()
                                         if k not in ("H", "W")})
 
-    def ray_loss(params, rb, key, it):
+    def ray_loss(params, rb, key, it, d_all=None):
         return compute_losses(
             model, params, rb["rays_o"], rb["rays_d"], rb["target_rgb"], key,
             render_fn=render_fn, w_eikonal=w_eikonal, with_mask=with_mask,
             w_mask=w_mask, target_mask=rb.get("target_mask"),
-            mask_ignore=rb.get("mask_ignore"))
+            mask_ignore=rb.get("mask_ignore"), d_all=d_all)
 
     return ray_loss
+
+
+def make_pipeline_fns(model: NeuS, args, render_kwargs_train: dict):
+    """Split the train step for software pipelining (training.overlap_sampler):
+
+      depth_sample(params, rb, key) -> d_all   (gradient-free upsampler)
+      loss_with_samples(params, rb, d_all, key, it) -> (total, aux)
+
+    depth_sample(p, rb, k) + loss_with_samples(p, rb, d, k, it) with the SAME
+    key equals ray_loss(p, rb, k, it) exactly (the key split is shared, see
+    compute_ray_samples). The pipelined block calls depth_sample with the
+    PRE-update params of the step whose backward it overlaps — sample
+    placement is then one step stale, which only moves the (heuristic)
+    quadrature points; the rendered values and gradients always use fresh
+    params. See parallel/sharding.py:make_sharded_train_block.
+    """
+    sample_kwargs = {k: v for k, v in render_kwargs_train.items()
+                     if k not in ("H", "W", "rayschunk")}
+    ray_loss = make_ray_loss_fn(model, args, render_kwargs_train)
+
+    def depth_sample(params, rb, key):
+        d = compute_ray_samples(model, params, rb["rays_o"], rb["rays_d"],
+                                key, **sample_kwargs)
+        # restore the batch/ray leading dims so d_all shards on the ray axis
+        # (dim 1) exactly like every other ray-batch leaf
+        return d.reshape(rb["rays_o"].shape[:-1] + d.shape[-1:])
+
+    def loss_with_samples(params, rb, d_all, key, it):
+        return ray_loss(params, rb, key, it, d_all=d_all)
+
+    return {"depth_sample": depth_sample,
+            "loss_with_samples": loss_with_samples}
 
 
 def make_trainer(model: NeuS, args, render_kwargs_train: dict):

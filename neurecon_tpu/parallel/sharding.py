@@ -95,7 +95,7 @@ def make_sharded_train_step(ray_loss_fn, optimizer, mesh: Mesh,
 
 def make_sharded_train_block(ray_loss_fn, optimizer, mesh: Mesh,
                              sample_fn, ray_axis: int = 1,
-                             axis_name: str = "rays"):
+                             axis_name: str = "rays", pipeline_fns=None):
     """K train steps per dispatch, sharded: one jitted lax.scan whose body
     samples a ray batch on device (from the replicated HBM dataset), pins it
     to the 'rays' mesh axis with a sharding constraint, and runs grad + adam
@@ -107,6 +107,14 @@ def make_sharded_train_block(ray_loss_fn, optimizer, mesh: Mesh,
     sample_fn(data, idx, key) -> ray_batch (every leaf with the ray axis at
     `ray_axis`). Returns block(state, data, idxs [K], key) -> (state,
     metrics-of-last-step).
+
+    pipeline_fns (optional, from frameworks.get_pipeline_fns): software-
+    pipelines the step. The gradient-free depth sampler for step i+1 runs in
+    body i against the PRE-update params — it is then independent of step
+    i's backward, and XLA overlaps the two chains (measured concurrency
+    factor 1.6 for independent W=256 chains, tools/bench_roadmap). Sample
+    PLACEMENT becomes one step stale; rendered values/gradients still use
+    fresh params. The first step of each dispatch samples unpipelined.
     """
     repl = replicate(mesh)
 
@@ -114,6 +122,14 @@ def make_sharded_train_block(ray_loss_fn, optimizer, mesh: Mesh,
         return jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, ray_sharding(mesh, x.ndim, ray_axis, axis_name)), rb)
+
+    def metrics_of(losses, extras, grads):
+        m = {"losses": {k2: jnp.mean(v) for k2, v in losses.items()},
+             "grad_norms": grad_norms_by_module(grads),
+             "extras_stats": extras_stats(extras)}
+        if isinstance(extras, dict) and "scalars" in extras:
+            m["scalars"] = extras["scalars"]
+        return m
 
     def block(state: TrainState, data, idxs, key):
         def body(st, xs):
@@ -129,20 +145,60 @@ def make_sharded_train_block(ray_loss_fn, optimizer, mesh: Mesh,
                 wrapped, has_aux=True)(st.params)
             updates, opt_state = optimizer.update(grads, st.opt_state, st.params)
             params = optax.apply_updates(st.params, updates)
-            metrics = {"losses": {k2: jnp.mean(v) for k2, v in losses.items()},
-                       "grad_norms": grad_norms_by_module(grads),
-                       "extras_stats": extras_stats(extras)}
-            if isinstance(extras, dict) and "scalars" in extras:
-                metrics["scalars"] = extras["scalars"]
             return TrainState(params=params, opt_state=opt_state,
-                              step=it + 1), metrics
+                              step=it + 1), metrics_of(losses, extras, grads)
 
         keys = jax.random.split(key, idxs.shape[0])
         state, metrics = jax.lax.scan(body, state, (idxs, keys))
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return state, last
 
-    return jax.jit(block, donate_argnums=(0,),
+    def block_pipelined(state: TrainState, data, idxs, key):
+        depth_sample = pipeline_fns["depth_sample"]
+        loss_ws = pipeline_fns["loss_with_samples"]
+        keys = jax.random.split(key, idxs.shape[0])
+
+        def make_rb(idx, k):
+            k_sample, k_render = jax.random.split(k)
+            rb = constrain(sample_fn(data, idx, k_sample))
+            return rb, k_render
+
+        # prologue: step 0's samples, fresh params (not overlapped)
+        rb0, kr0 = make_rb(idxs[0], keys[0])
+        d0 = constrain(depth_sample(state.params, rb0, kr0))
+
+        # body i consumes (rb_i, d_i) and produces (rb_{i+1}, d_{i+1}); the
+        # final iteration recomputes its own (i.e. the last) inputs, which
+        # XLA sees as live but costs 1/K of a sampler — negligible at K=50
+        idx_next = jnp.concatenate([idxs[1:], idxs[-1:]])
+        key_next = jnp.concatenate([keys[1:], keys[-1:]])
+
+        def body(carry, xs):
+            st, rb, d_all, k_render = carry
+            idx_n, k_n = xs
+            it = st.step
+
+            def wrapped(params):
+                return loss_ws(params, rb, d_all, k_render, it)
+
+            (_, (losses, extras)), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(st.params)
+            # next step's rays + depth samples against PRE-update params:
+            # independent of the grads chain above -> overlappable
+            rb_n, kr_n = make_rb(idx_n, k_n)
+            d_n = constrain(depth_sample(st.params, rb_n, kr_n))
+            updates, opt_state = optimizer.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            st2 = TrainState(params=params, opt_state=opt_state, step=it + 1)
+            return (st2, rb_n, d_n, kr_n), metrics_of(losses, extras, grads)
+
+        (state, *_), metrics = jax.lax.scan(
+            body, (state, rb0, d0, kr0), (idx_next, key_next))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(block_pipelined if pipeline_fns else block,
+                   donate_argnums=(0,),
                    in_shardings=(repl, repl, None, repl),
                    out_shardings=(repl, repl))
 

@@ -141,7 +141,19 @@ def main_function(args):
     N_rays = int(args.data.N_rays)
 
     n_devices = jax.local_device_count()
-    use_sharding = n_devices > 1 and N_rays % n_devices == 0
+    overlap_sampler = bool(args.training.get("overlap_sampler", False))
+    pipeline_fns = None
+    if overlap_sampler:
+        from neurecon_tpu.models.frameworks import get_pipeline_fns
+        pipeline_fns = get_pipeline_fns(args, model, render_kwargs_train)
+        if pipeline_fns is None:
+            log.warn(f"training.overlap_sampler: not supported for "
+                     f"{args.model.framework}, using the standard step")
+    # the pipelined block lives in the sharded path; a 1-device mesh makes
+    # its sharding constraints no-ops, so overlap_sampler routes single-chip
+    # training through it too
+    use_sharding = (n_devices > 1 or pipeline_fns is not None) \
+        and N_rays % n_devices == 0
     steps_per_call = int(args.training.get("steps_per_call", 1))
     mesh = None
     if use_sharding:
@@ -149,14 +161,16 @@ def main_function(args):
         # grad psum and adam all inside one compiled scan
         from neurecon_tpu.parallel import make_mesh
         from neurecon_tpu.parallel.sharding import make_sharded_train_block
-        log.info(f"=> sharding rays over {n_devices} devices")
+        log.info(f"=> sharding rays over {n_devices} devices"
+                 + (" (pipelined sampler)" if pipeline_fns else ""))
         mesh = make_mesh()
         ray_loss = get_ray_loss_fn(args, model, render_kwargs_train)
 
         def sample_fn(data, idx, key):
             return sample_ray_batch(key, _slice_image(data, idx), H, W, N_rays)
 
-        block_fn = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        block_fn = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn,
+                                            pipeline_fns=pipeline_fns)
 
         def run_block(state, idxs, key):
             return block_fn(state, data_dev, idxs, key)

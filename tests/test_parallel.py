@@ -211,3 +211,126 @@ class TestShardedTrainBlock:
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
             state_b.params, state_u.params)
         assert max(jax.tree_util.tree_leaves(diff)) < 1e-4
+
+
+class TestPipelinedBlock:
+    """Software-pipelined train block (training.overlap_sampler): the depth
+    sampler for step i+1 runs in body i against pre-update params."""
+
+    def _common(self, n_images=4):
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.frameworks.neus import (
+            make_pipeline_fns, make_ray_loss_fn)
+        from tests.test_neus import tiny_model
+
+        H, W, N_rays = 40, 48, 64
+        scene = make_synthetic_scene(n_images=n_images, H=H, W=W)
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "NeuS"},
+            "training": {"with_mask": True, "w_mask": 1.0, "w_eikonal": 0.1,
+                         "lr": 5e-4, "num_iters": 100, "speed_factor": 10.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        rk = {"H": H, "W": W, "N_samples": 16, "N_importance": 16,
+              "perturb": True}
+        ray_loss = make_ray_loss_fn(model, args, rk)
+        pipe = make_pipeline_fns(model, args, rk)
+        data = {k: jnp.asarray(scene[k])
+                for k in ("c2w", "intrinsics", "rgb", "object_mask")}
+
+        def slice_image(data, idx):
+            return {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                    for k, v in data.items()}
+
+        def sample_fn(data, idx, key):
+            return sample_ray_batch(key, slice_image(data, idx), H, W, N_rays)
+
+        return model, params, args, ray_loss, pipe, data, sample_fn
+
+    def test_depth_sample_plus_loss_equals_ray_loss(self):
+        """Same params + same key: the split (sample, then loss-with-samples)
+        reproduces the fused ray loss exactly (shared key split)."""
+        model, params, args, ray_loss, pipe, data, sample_fn = self._common()
+        key = jax.random.PRNGKey(3)
+        rb = jax.jit(sample_fn)(data, jnp.asarray(0), key)
+        k_render = jax.random.PRNGKey(4)
+
+        total_f, (losses_f, _) = jax.jit(ray_loss)(params, rb, k_render, 0)
+        d = jax.jit(pipe["depth_sample"])(params, rb, k_render)
+        assert d.shape[:2] == rb["rays_o"].shape[:2]
+        total_s, (losses_s, _) = jax.jit(pipe["loss_with_samples"])(
+            params, rb, d, k_render, 0)
+
+        np.testing.assert_allclose(float(total_f), float(total_s),
+                                   rtol=1e-6, atol=1e-7)
+        for k in losses_f:
+            np.testing.assert_allclose(float(losses_f[k]), float(losses_s[k]),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_pipelined_block_matches_fused_when_params_frozen(self):
+        """With a zero-lr optimizer the staleness vanishes — the pipelined
+        block must reproduce the fused block's last-step losses exactly."""
+        import optax
+
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+
+        model, params, args, ray_loss, pipe, data, sample_fn = self._common()
+        optimizer = optax.sgd(0.0)
+        mesh = make_mesh(8)
+        idxs = jnp.asarray([0, 2, 1, 3])
+        key = jax.random.PRNGKey(11)
+
+        block_f = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        state_f, metrics_f = block_f(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, key)
+
+        block_p = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn,
+                                           pipeline_fns=pipe)
+        state_p, metrics_p = block_p(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, key)
+
+        assert int(state_p.step) == len(idxs)
+        for k in metrics_f["losses"]:
+            np.testing.assert_allclose(float(metrics_p["losses"][k]),
+                                       float(metrics_f["losses"][k]),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_pipelined_block_trains_close_to_fused(self):
+        """With a real optimizer the sample placement is one step stale —
+        training must still progress and track the fused block closely."""
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+
+        model, params, args, ray_loss, pipe, data, sample_fn = self._common()
+        optimizer = make_optimizer(args, params)
+        mesh = make_mesh(8)
+        key = jax.random.PRNGKey(13)
+        idxs = jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3])
+
+        block_f = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        state_f, metrics_f = block_f(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, key)
+
+        block_p = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn,
+                                           pipeline_fns=pipe)
+        state_p, metrics_p = block_p(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, key)
+
+        lf = float(metrics_f["losses"]["total"])
+        lp = float(metrics_p["losses"]["total"])
+        assert np.isfinite(lp)
+        # same data, same keys, only quadrature placement is stale: the two
+        # last-step losses should be near-identical this early in training
+        np.testing.assert_allclose(lp, lf, rtol=0.05, atol=5e-3)
+        # params stay close too
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state_p.params, state_f.params)
+        assert max(jax.tree_util.tree_leaves(diff)) < 5e-3

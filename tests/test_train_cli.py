@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from neurecon_tpu.config import load_yaml
 
@@ -52,3 +53,28 @@ class TestTrainCLI:
         main_function(args2)
         ckpts2 = os.listdir(os.path.join(exp, "ckpts"))
         assert any(c.startswith("final_000000") and "40" in c for c in ckpts2), ckpts2
+
+    def test_nan_watchdog_saves_forensic_ckpt_and_halts(self, tmp_path):
+        """A NaN lr poisons the params after one update -> non-finite loss at
+        the next log interval -> the watchdog (train.py:356-371) must save a
+        nan_*.pt forensic checkpoint and halt instead of training on."""
+        from neurecon_tpu.train import main_function
+        args = _smoke_args(tmp_path, num_iters=30)
+        args.training["i_val"] = 10_000       # don't render from NaN params
+        args.training["lr"] = float("nan")
+        with pytest.raises(RuntimeError, match="non-finite"):
+            main_function(args)
+        ckpts = os.listdir(os.path.join(args.training.exp_dir, "ckpts"))
+        assert any(c.startswith("nan_") for c in ckpts), ckpts
+
+    def test_nan_watchdog_halt_disabled_continues(self, tmp_path):
+        """halt_on_nan=False keeps training (still saves the forensic ckpt)."""
+        from neurecon_tpu.train import main_function
+        args = _smoke_args(tmp_path, num_iters=30)
+        args.training["i_val"] = 10_000
+        args.training["lr"] = float("nan")
+        args.training["halt_on_nan"] = False
+        main_function(args)
+        ckpts = os.listdir(os.path.join(args.training.exp_dir, "ckpts"))
+        assert any(c.startswith("nan_") for c in ckpts), ckpts
+        assert any(c.startswith("final_") for c in ckpts), ckpts
