@@ -111,6 +111,74 @@ def bench_neus_flagship():
     return _measure_train(args, 1200, 1600, "NeuS")
 
 
+def bench_neus_pipelined():
+    """Flagship NeuS through the PRODUCTION block path (on-device ray
+    sampling + scan) with training.overlap_sampler: the no-grad upsampler of
+    step i+1 overlaps step i's backward (parallel/sharding.py pipelined
+    body). Same per-step math; sample placement one step stale."""
+    from __graft_entry__ import _flagship_args
+    from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+    from neurecon_tpu.models.base import make_optimizer
+    from neurecon_tpu.models.frameworks import (get_model, get_pipeline_fns,
+                                                get_ray_loss_fn)
+    from neurecon_tpu.parallel import make_mesh
+    from neurecon_tpu.parallel.sharding import make_sharded_train_block
+    from neurecon_tpu.training import init_train_state, sample_ray_batch
+
+    args, _, _ = _flagship_args(N_rays=512)
+    H, W = 1200, 1600
+    N_rays = int(args.data.N_rays)
+    model, _, kw_train, _, _ = get_model(args)
+    params = model.init(jax.random.PRNGKey(0))
+    rk = dict(kw_train)
+    rk.update({"H": H, "W": W})
+    ray_loss = get_ray_loss_fn(args, model, rk)
+    pipe = get_pipeline_fns(args, model, rk)
+    optimizer = make_optimizer(args, params)
+    state = init_train_state(params, optimizer)
+
+    scene = make_synthetic_scene(n_images=1, H=H, W=W, radius=0.5,
+                                 cam_radius=3.0)
+    data = {k: jnp.asarray(scene[k][:1])
+            for k in ("c2w", "intrinsics", "rgb", "object_mask")}
+
+    def sample_fn(d, idx, key):
+        sliced = {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                  for k, v in d.items()}
+        return sample_ray_batch(key, sliced, H, W, N_rays)
+
+    mesh = make_mesh()
+    block = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn,
+                                     pipeline_fns=pipe)
+
+    block_ok, K = None, None
+    for K_try in (20, 5, 1):
+        idxs = jnp.zeros((K_try,), jnp.int32)
+        for attempt in range(3):
+            try:
+                state, m = block(state, data, idxs, jax.random.PRNGKey(1))
+                assert float(m["losses"]["total"]) > 0
+                block_ok, K = block, K_try
+                break
+            except Exception as e:
+                print(f"# bench[NeuS-pipelined]: K={K_try} attempt {attempt} "
+                      f"failed ({str(e).splitlines()[0][:80]})", flush=True)
+                time.sleep(5 * (attempt + 1))
+        if block_ok is not None:
+            break
+    assert block_ok is not None, "pipelined block failed to compile"
+
+    idxs = jnp.zeros((K,), jnp.int32)
+    best_dt = float("inf")
+    for trial in range(5):
+        t0 = time.perf_counter()
+        state, m = block_ok(state, data, idxs,
+                            jax.random.fold_in(jax.random.PRNGKey(2), trial))
+        _ = float(m["losses"]["total"])  # host fetch: the only reliable sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return N_rays * K / best_dt
+
+
 def _quality_args(config_name):
     from neurecon_tpu.config import load_yaml
     args = load_yaml(f"configs/{config_name}")
@@ -167,7 +235,8 @@ def bench_render():
 def main():
     results = []
 
-    for name, fn in (("VolSDF", bench_volsdf), ("UNISURF", bench_unisurf)):
+    for name, fn in (("VolSDF", bench_volsdf), ("UNISURF", bench_unisurf),
+                     ("NeuS-pipelined", bench_neus_pipelined)):
         try:
             rps = fn()
             results.append((

@@ -38,4 +38,10 @@ def get_pipeline_fns(args, model, render_kwargs_train):
     if args.model.framework == "NeuS":
         from neurecon_tpu.models.frameworks.neus import make_pipeline_fns
         return make_pipeline_fns(model, args, render_kwargs_train)
+    if args.model.framework == "VolSDF":
+        from neurecon_tpu.models.frameworks.volsdf import make_pipeline_fns
+        return make_pipeline_fns(model, args, render_kwargs_train)
+    if args.model.framework == "UNISURF":
+        from neurecon_tpu.models.frameworks.unisurf import make_pipeline_fns
+        return make_pipeline_fns(model, args, render_kwargs_train)
     return None

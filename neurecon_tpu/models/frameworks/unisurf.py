@@ -89,6 +89,46 @@ def _stratified(key, lower, upper, N: int, perturb: bool):
     return lower[..., None] * (1 - t) + upper[..., None] * t
 
 
+def _prepare_rays(rays_o, rays_d, radius_of_interest,
+                  near_bypass=None, far_bypass=None):
+    """Flatten + normalize rays and intersect the sphere of interest — shared
+    by the renderer and the stand-alone surface finder (pipelined step)."""
+    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = near_far_from_sphere(rays_o, rays_d, r=radius_of_interest,
+                                     keepdim=False)
+    if near_bypass is not None:
+        near = jnp.full_like(near, near_bypass)
+    if far_bypass is not None:
+        far = jnp.full_like(far, far_bypass)
+    return rays_o, rays_d, near, far
+
+
+def compute_ray_samples(model: UNISURF, params, rays_o, rays_d, key,
+                        *,
+                        logit_tau: float = 0.0,
+                        method: str = "secant",
+                        near_bypass: Optional[float] = None,
+                        far_bypass: Optional[float] = None,
+                        radius_of_interest: float = 4.0,
+                        N_steps: int = 256,
+                        **dummy_kwargs):
+    """Gradient-free surface root-find (the N_steps-march dominating the
+    sampler cost), callable OUTSIDE the render for the pipelined train step.
+    Deterministic — `key` is accepted for contract uniformity and unused.
+    Returns (d_pred_out, pt_pred, mask, mask_sign_change) flat over rays,
+    for surface_override=."""
+    del key
+    rays_o, rays_d, near, far = _prepare_rays(
+        rays_o, rays_d, radius_of_interest, near_bypass, far_bypass)
+    sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    return root_finding_surface_points(
+        lambda x: model.forward_surface(sg_params, x),
+        rays_o, rays_d, near=near, far=far, N_steps=N_steps, method=method,
+        logit_tau=logit_tau, fill_inf=False)
+
+
 def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
                        *,
                        logit_tau: float = 0.0,
@@ -106,6 +146,7 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
                        calc_normal: bool = False,
                        detailed_output: bool = True,
                        reg_perturb: Optional[float] = None,
+                       surface_override=None,
                        **dummy_kwargs):
     """Render a flat batch of rays [N, 3]; `interval` is a traced scalar Δ.
 
@@ -116,24 +157,26 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
     and return them as ret['nablas_surface_reg'] [N, 2, 3] for the
     normal-smoothness loss (ref unisurf.py:330-341).
     """
-    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
-    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o, rays_d, near, far = _prepare_rays(
+        rays_o, rays_d, radius_of_interest, near_bypass, far_bypass)
     view_dirs = rays_d if use_view_dirs else None
-
-    near, far = near_far_from_sphere(rays_o, rays_d, r=radius_of_interest,
-                                     keepdim=False)
-    if near_bypass is not None:
-        near = jnp.full_like(near, near_bypass)
-    if far_bypass is not None:
-        far = jnp.full_like(far, far_bypass)
     d_threshold = near + (far - near) * too_close_threshold
 
-    sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
-    d_pred_out, pt_pred, mask, mask_sign_change = root_finding_surface_points(
-        lambda x: model.forward_surface(sg_params, x),
-        rays_o, rays_d, near=near, far=far, N_steps=N_steps, method=method,
-        logit_tau=logit_tau, fill_inf=False)
+    if surface_override is not None:
+        # precomputed by compute_ray_samples (pipelined train step; possibly
+        # one step stale — placement only, rendered values use fresh params)
+        N = rays_o.shape[0]
+        d_pred_out, pt_pred, mask, mask_sign_change = (
+            jax.lax.stop_gradient(surface_override[0].reshape(N)),
+            jax.lax.stop_gradient(surface_override[1].reshape(N, 3)),
+            surface_override[2].reshape(N),
+            surface_override[3].reshape(N))
+    else:
+        sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+        d_pred_out, pt_pred, mask, mask_sign_change = root_finding_surface_points(
+            lambda x: model.forward_surface(sg_params, x),
+            rays_o, rays_d, near=near, far=far, N_steps=N_steps, method=method,
+            logit_tau=logit_tau, fill_inf=False)
 
     d_pred_out = jnp.clip(d_pred_out, near, far)
     d_upper = jnp.minimum(d_pred_out + interval, far)
@@ -211,10 +254,12 @@ def make_volume_render_fn(model: UNISURF, default_interval: float = 1.0,
     for k in ("H", "W", "rayschunk", "netchunk", "batched", "tau"):
         render_kwargs.pop(k, None)
 
-    def render(params, rays_o, rays_d, key, interval=None):
+    def render(params, rays_o, rays_d, key, interval=None,
+               surface_override=None):
         interval = default_interval if interval is None else interval
         prefix = rays_o.shape[:-1]
         ret = volume_render_rays(model, params, rays_o, rays_d, key, interval,
+                                 surface_override=surface_override,
                                  **render_kwargs)
         ret = {k: v.reshape(prefix + v.shape[1:]) for k, v in ret.items()}
         return ret["rgb"], ret["depth_volume"], ret
@@ -234,7 +279,7 @@ def make_ray_loss_fn(model: UNISURF, args, render_kwargs_train: dict):
         reg_perturb=(perturb_surface_pts if w_reg > 0 else None),
         **{k: v for k, v in render_kwargs_train.items() if k not in ("H", "W")})
 
-    def ray_loss(params, rb, key, it):
+    def ray_loss(params, rb, key, it, surface_override=None):
         k_render, k_reg = jax.random.split(key)
         del k_reg  # reg points are jittered inside the renderer's key stream
         target_rgb = rb["target_rgb"]
@@ -245,7 +290,8 @@ def make_ray_loss_fn(model: UNISURF, args, render_kwargs_train: dict):
             delta_min)
 
         rgb, depth_v, extras = render_fn(params, rb["rays_o"], rb["rays_d"],
-                                         k_render, interval=interval)
+                                         k_render, interval=interval,
+                                         surface_override=surface_override)
         losses = {}
         losses["loss_img"] = jnp.mean(jnp.abs(rgb - target_rgb))
 
@@ -271,6 +317,27 @@ def make_ray_loss_fn(model: UNISURF, args, render_kwargs_train: dict):
         return total, (losses, extras)
 
     return ray_loss
+
+
+def make_pipeline_fns(model: UNISURF, args, render_kwargs_train: dict):
+    """Split the train step for software pipelining (training.overlap_sampler)
+    — same contract as neus.make_pipeline_fns. The surface root-find is
+    deterministic, so split == fused is exact regardless of the key."""
+    sample_kwargs = {k: v for k, v in render_kwargs_train.items()
+                     if k not in ("H", "W", "rayschunk")}
+    ray_loss = make_ray_loss_fn(model, args, render_kwargs_train)
+
+    def depth_sample(params, rb, key):
+        surf = compute_ray_samples(model, params, rb["rays_o"], rb["rays_d"],
+                                   key, **sample_kwargs)
+        prefix = rb["rays_o"].shape[:-1]
+        return tuple(x.reshape(prefix + x.shape[1:]) for x in surf)
+
+    def loss_with_samples(params, rb, surf, key, it):
+        return ray_loss(params, rb, key, it, surface_override=surf)
+
+    return {"depth_sample": depth_sample,
+            "loss_with_samples": loss_with_samples}
 
 
 def make_trainer(model: UNISURF, args, render_kwargs_train: dict):

@@ -243,6 +243,58 @@ class VolSDF:
         return radiances, sdf, nablas
 
 
+def _ray_bounds(rays_o, rays_d, near, far, obj_bounding_radius,
+                use_nerfplusplus):
+    """Flatten + normalize rays and compute per-ray [near, far] — the shared
+    preamble of the renderer and the stand-alone fine sampler."""
+    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    N_rays = rays_o.shape[0]
+    nears = jnp.full((N_rays, 1), near, jnp.float32)
+    if use_nerfplusplus:
+        _, fars, _mask = get_sphere_intersection(rays_o, rays_d,
+                                                 r=obj_bounding_radius)
+    else:
+        fars = jnp.full((N_rays, 1), far, jnp.float32)
+    return rays_o, rays_d, nears, fars
+
+
+def compute_ray_samples(model: VolSDF, params, rays_o, rays_d, key,
+                        *,
+                        near: float = 0.0,
+                        far: float = 6.0,
+                        obj_bounding_radius: float = 3.0,
+                        use_nerfplusplus: bool = False,
+                        perturb: bool = False,
+                        N_samples: int = 128,
+                        N_importance: int = 64,
+                        max_upsample_steps: int = 5,
+                        max_bisection_steps: int = 10,
+                        epsilon: float = 0.1,
+                        fine_sample_mul: int = 4,
+                        **dummy_kwargs):
+    """Gradient-free §3.4 fine sampler, callable OUTSIDE the render. Splits
+    `key` exactly like volume_render_rays, so sample + render-with-override
+    under the SAME key reproduces the fused render bit for bit. Returns
+    (d_fine, beta_map, iter_usage) flat over rays, for fine_override=."""
+    rays_o, rays_d, nears, fars = _ray_bounds(
+        rays_o, rays_d, near, far, obj_bounding_radius, use_nerfplusplus)
+    key_fine, _key_out = jax.random.split(key)
+    alpha, beta = model.forward_ab(params)
+    sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    _t_init = jnp.linspace(0, 1, N_samples * fine_sample_mul)
+    d_init = nears * (1 - _t_init) + fars * _t_init
+    return fine_sample(
+        lambda x: model.forward_surface(sg_params, x),
+        d_init, rays_o, rays_d,
+        alpha_net=jax.lax.stop_gradient(alpha),
+        beta_net=jax.lax.stop_gradient(beta),
+        far=fars, key=key_fine, eps=epsilon, max_iter=max_upsample_steps,
+        max_bisection=max_bisection_steps, final_N_importance=N_importance,
+        N_up=N_samples * fine_sample_mul, perturb=perturb)
+
+
 def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
                        *,
                        near: float = 0.0,
@@ -262,6 +314,7 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
                        calc_normal: bool = False,
                        detailed_output: bool = True,
                        eik_pts=None,
+                       fine_override=None,
                        **dummy_kwargs):
     """Render a flat batch of rays [N, 3] -> dict of per-ray outputs.
 
@@ -271,18 +324,10 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
     same program crashes this environment's TPU compiler — and returned as
     ret['eik_nablas'] without touching the compositor.
     """
-    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
-    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o, rays_d, nears, fars = _ray_bounds(
+        rays_o, rays_d, near, far, obj_bounding_radius, use_nerfplusplus)
     view_dirs = rays_d if use_view_dirs else None
     N_rays = rays_o.shape[0]
-
-    nears = jnp.full((N_rays, 1), near, jnp.float32)
-    if use_nerfplusplus:
-        _, fars, _mask = get_sphere_intersection(rays_o, rays_d,
-                                                 r=obj_bounding_radius)
-    else:
-        fars = jnp.full((N_rays, 1), far, jnp.float32)
 
     key_fine, key_out = jax.random.split(key)
 
@@ -292,17 +337,25 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
     alpha, beta = model.forward_ab(params)
     sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
 
-    # denser d_init speeds up up-sampling convergence (ref volsdf.py:425-435)
-    _t_init = jnp.linspace(0, 1, N_samples * fine_sample_mul)
-    d_init = nears * (1 - _t_init) + fars * _t_init
-    d_fine, beta_map, iter_usage = fine_sample(
-        lambda x: model.forward_surface(sg_params, x),
-        d_init, rays_o, rays_d,
-        alpha_net=jax.lax.stop_gradient(alpha),
-        beta_net=jax.lax.stop_gradient(beta),
-        far=fars, key=key_fine, eps=epsilon, max_iter=max_upsample_steps,
-        max_bisection=max_bisection_steps, final_N_importance=N_importance,
-        N_up=N_samples * fine_sample_mul, perturb=perturb)
+    if fine_override is not None:
+        # precomputed by compute_ray_samples (pipelined train step; possibly
+        # one step stale — placement only, values below use fresh params)
+        d_fine, beta_map, iter_usage = fine_override
+        d_fine = jax.lax.stop_gradient(d_fine.reshape(N_rays, -1))
+        beta_map = jax.lax.stop_gradient(beta_map.reshape(N_rays))
+        iter_usage = jax.lax.stop_gradient(iter_usage.reshape(N_rays))
+    else:
+        # denser d_init speeds up up-sampling convergence (ref volsdf.py:425-435)
+        _t_init = jnp.linspace(0, 1, N_samples * fine_sample_mul)
+        d_init = nears * (1 - _t_init) + fars * _t_init
+        d_fine, beta_map, iter_usage = fine_sample(
+            lambda x: model.forward_surface(sg_params, x),
+            d_init, rays_o, rays_d,
+            alpha_net=jax.lax.stop_gradient(alpha),
+            beta_net=jax.lax.stop_gradient(beta),
+            far=fars, key=key_fine, eps=epsilon, max_iter=max_upsample_steps,
+            max_bisection=max_bisection_steps, final_N_importance=N_importance,
+            N_up=N_samples * fine_sample_mul, perturb=perturb)
 
     # paper says fine-only, but practice needs the coarse concat to avoid
     # early local minima (ref volsdf.py:439-443)
@@ -395,12 +448,13 @@ def make_volume_render_fn(model: VolSDF, **render_kwargs):
     for k in ("H", "W", "rayschunk", "netchunk", "batched"):
         render_kwargs.pop(k, None)
 
-    def render(params, rays_o, rays_d, key, eik_pts=None):
+    def render(params, rays_o, rays_d, key, eik_pts=None, fine_override=None):
         prefix = rays_o.shape[:-1]
         if eik_pts is not None:
             eik_pts = eik_pts.reshape(-1, *eik_pts.shape[len(prefix):])
         ret = volume_render_rays(model, params, rays_o, rays_d, key,
-                                 eik_pts=eik_pts, **render_kwargs)
+                                 eik_pts=eik_pts, fine_override=fine_override,
+                                 **render_kwargs)
         ret = {k: v.reshape(prefix + v.shape[1:]) for k, v in ret.items()}
         return ret["rgb"], ret["depth_volume"], ret
 
@@ -416,7 +470,7 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
         model, detailed_output=True,
         **{k: v for k, v in render_kwargs_train.items() if k not in ("H", "W")})
 
-    def ray_loss(params, rb, key, it):
+    def ray_loss(params, rb, key, it, fine_override=None):
         k_render, k_eik = jax.random.split(key)
         target_rgb = rb["target_rgb"]
         mask_ignore = rb.get("mask_ignore")
@@ -428,7 +482,8 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
             k_eik, rb["rays_o"].shape[:-1] + (1, 3), jnp.float32,
             -eik_bounding_box, eik_bounding_box)
         rgb, depth_v, extras = render_fn(params, rb["rays_o"], rb["rays_d"],
-                                         k_render, eik_pts=eik_pts)
+                                         k_render, eik_pts=eik_pts,
+                                         fine_override=fine_override)
 
         nablas = extras["implicit_nablas"]  # [..., N_rays, P, 3]
         # single max-visibility surface point per ray (§3.5 of the paper)
@@ -458,6 +513,30 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
         return total, (losses, extras)
 
     return ray_loss
+
+
+def make_pipeline_fns(model: VolSDF, args, render_kwargs_train: dict):
+    """Split the train step for software pipelining (training.overlap_sampler)
+    — same contract as neus.make_pipeline_fns: depth_sample + loss_with_samples
+    under the same key equal the fused ray_loss exactly (ray_loss splits key
+    into (k_render, k_eik) and the renderer splits k_render into (key_fine, _);
+    depth_sample replays both splits)."""
+    sample_kwargs = {k: v for k, v in render_kwargs_train.items()
+                     if k not in ("H", "W", "rayschunk")}
+    ray_loss = make_ray_loss_fn(model, args, render_kwargs_train)
+
+    def depth_sample(params, rb, key):
+        k_render, _k_eik = jax.random.split(key)
+        fine = compute_ray_samples(model, params, rb["rays_o"], rb["rays_d"],
+                                   k_render, **sample_kwargs)
+        prefix = rb["rays_o"].shape[:-1]
+        return tuple(x.reshape(prefix + x.shape[1:]) for x in fine)
+
+    def loss_with_samples(params, rb, fine, key, it):
+        return ray_loss(params, rb, key, it, fine_override=fine)
+
+    return {"depth_sample": depth_sample,
+            "loss_with_samples": loss_with_samples}
 
 
 def make_trainer(model: VolSDF, args, render_kwargs_train: dict):

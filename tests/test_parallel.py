@@ -334,3 +334,138 @@ class TestPipelinedBlock:
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
             state_p.params, state_f.params)
         assert max(jax.tree_util.tree_leaves(diff)) < 5e-3
+
+    def test_volsdf_split_and_pipelined_block(self):
+        """VolSDF variant: split == fused exactly; frozen-params pipelined
+        block == fused block."""
+        import optax
+
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.frameworks.volsdf import (
+            make_pipeline_fns as volsdf_pipe, make_ray_loss_fn as volsdf_loss)
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+        from tests.test_volsdf import tiny_model as volsdf_tiny
+
+        H, W, N_rays = 40, 48, 64
+        scene = make_synthetic_scene(n_images=2, H=H, W=W)
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "VolSDF", "obj_bounding_radius": 3.0},
+            "training": {"w_eikonal": 0.1, "lr": 5e-4, "num_iters": 100,
+                         "speed_factor": 10.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        model = volsdf_tiny()
+        params = model.init(jax.random.PRNGKey(0))
+        rk = {"H": H, "W": W, "near": 0.0, "far": 6.0, "N_samples": 24,
+              "N_importance": 16, "max_upsample_steps": 2,
+              "fine_sample_mul": 1, "obj_bounding_radius": 3.0,
+              "perturb": True}
+        ray_loss = volsdf_loss(model, args, rk)
+        pipe = volsdf_pipe(model, args, rk)
+        data = {k: jnp.asarray(scene[k]) for k in ("c2w", "intrinsics", "rgb")}
+
+        def slice_image(data, idx):
+            return {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                    for k, v in data.items()}
+
+        def sample_fn(data, idx, key):
+            return sample_ray_batch(key, slice_image(data, idx), H, W, N_rays)
+
+        # split == fused under the same key
+        key = jax.random.PRNGKey(3)
+        rb = jax.jit(sample_fn)(data, jnp.asarray(0), key)
+        k_render = jax.random.PRNGKey(4)
+        total_f, (losses_f, _) = jax.jit(ray_loss)(params, rb, k_render, 0)
+        fine = jax.jit(pipe["depth_sample"])(params, rb, k_render)
+        assert fine[0].shape[:2] == rb["rays_o"].shape[:2]
+        total_s, _ = jax.jit(pipe["loss_with_samples"])(
+            params, rb, fine, k_render, 0)
+        np.testing.assert_allclose(float(total_f), float(total_s),
+                                   rtol=1e-6, atol=1e-7)
+
+        # frozen-params pipelined block == fused block
+        optimizer = optax.sgd(0.0)
+        mesh = make_mesh(8)
+        idxs = jnp.asarray([0, 1, 0])
+        bkey = jax.random.PRNGKey(11)
+        block_f = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        _, metrics_f = block_f(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, bkey)
+        block_p = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn,
+                                           pipeline_fns=pipe)
+        _, metrics_p = block_p(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, bkey)
+        for k in metrics_f["losses"]:
+            np.testing.assert_allclose(float(metrics_p["losses"][k]),
+                                       float(metrics_f["losses"][k]),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_unisurf_split_and_pipelined_block(self):
+        """UNISURF variant: deterministic root-find -> split == fused exactly;
+        frozen-params pipelined block == fused block."""
+        import optax
+
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.frameworks.unisurf import (
+            make_pipeline_fns as uni_pipe, make_ray_loss_fn as uni_loss)
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+        from tests.test_unisurf import tiny_model as uni_tiny
+
+        H, W, N_rays = 40, 48, 64
+        scene = make_synthetic_scene(n_images=2, H=H, W=W)
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "UNISURF"},
+            "training": {"lr": 1e-4, "num_iters": 100, "w_reg": 0.01,
+                         "delta_max": 1.0, "delta_min": 0.05,
+                         "delta_beta": 1.5e-5, "speed_factor": 1.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        model = uni_tiny()
+        params = model.init(jax.random.PRNGKey(0))
+        rk = {"H": H, "W": W, "N_query": 16, "N_freespace": 8, "N_steps": 32,
+              "radius_of_interest": 1.0, "perturb": True}
+        ray_loss = uni_loss(model, args, rk)
+        pipe = uni_pipe(model, args, rk)
+        data = {k: jnp.asarray(scene[k]) for k in ("c2w", "intrinsics", "rgb")}
+
+        def slice_image(data, idx):
+            return {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                    for k, v in data.items()}
+
+        def sample_fn(data, idx, key):
+            return sample_ray_batch(key, slice_image(data, idx), H, W, N_rays)
+
+        key = jax.random.PRNGKey(3)
+        rb = jax.jit(sample_fn)(data, jnp.asarray(0), key)
+        k_render = jax.random.PRNGKey(4)
+        total_f, (losses_f, _) = jax.jit(ray_loss)(params, rb, k_render, 0)
+        surf = jax.jit(pipe["depth_sample"])(params, rb, k_render)
+        assert surf[1].shape[:2] == rb["rays_o"].shape[:2]
+        total_s, _ = jax.jit(pipe["loss_with_samples"])(
+            params, rb, surf, k_render, 0)
+        np.testing.assert_allclose(float(total_f), float(total_s),
+                                   rtol=1e-6, atol=1e-7)
+
+        optimizer = optax.sgd(0.0)
+        mesh = make_mesh(8)
+        idxs = jnp.asarray([0, 1, 0])
+        bkey = jax.random.PRNGKey(11)
+        block_f = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn)
+        _, metrics_f = block_f(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, bkey)
+        block_p = make_sharded_train_block(ray_loss, optimizer, mesh, sample_fn,
+                                           pipeline_fns=pipe)
+        _, metrics_p = block_p(
+            init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                             optimizer), data, idxs, bkey)
+        for k in metrics_f["losses"]:
+            np.testing.assert_allclose(float(metrics_p["losses"][k]),
+                                       float(metrics_f["losses"][k]),
+                                       rtol=1e-5, atol=1e-6)
