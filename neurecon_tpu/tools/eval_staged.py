@@ -77,6 +77,11 @@ def evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=None, rayschunk=8192,
                 decomps.append(masked_psnr_decomposition(
                     ret["rgb"], gt["rgb"], m, H, W, edge_px))
         row["psnr"] = float(np.mean(psnrs))
+        # per-view spread: a collapsed mean with a healthy max flags a
+        # per-view or eval-path artifact rather than a bad model (the round-3
+        # staged-eval regression hunt needed exactly this)
+        row["psnr_min"] = float(np.min(psnrs))
+        row["psnr_max"] = float(np.max(psnrs))
         if psnrs_m:
             row["psnr_masked"] = float(np.mean(psnrs_m))
             row["psnr_interior"] = float(np.mean(

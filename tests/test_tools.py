@@ -445,8 +445,10 @@ class TestEvalStaged:
                               n_samples=2000, out_path=out)
         assert len(rows) == 2
         for r in rows:
-            assert {"psnr", "psnr_masked", "psnr_interior", "chamfer",
+            assert {"psnr", "psnr_min", "psnr_max", "psnr_masked",
+                    "psnr_interior", "chamfer",
                     "accuracy", "completeness"} <= set(r)
+            assert r["psnr_min"] <= r["psnr"] <= r["psnr_max"]
         assert rows[0]["step"] == 1000 and rows[1]["step"] == 2000
         import json as _json
         lines = [_json.loads(l) for l in open(out)]
