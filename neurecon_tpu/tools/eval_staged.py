@@ -23,7 +23,7 @@ import numpy as np
 
 
 def evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=None, rayschunk=8192,
-                   microchunk=2048, mesh_N=256, n_samples=100000,
+                   microchunk=0, mesh_N=256, n_samples=100000,
                    edge_px=2, out_path=None):
     import jax
     import jax.numpy as jnp
@@ -121,7 +121,12 @@ if __name__ == "__main__":
         parser.add_argument("--gt_mesh", type=str, default=None)
         parser.add_argument("--n_eval", type=int, default=None)
         parser.add_argument("--rayschunk", type=int, default=8192)
-        parser.add_argument("--microchunk", type=int, default=2048)
+        # default OFF: these renders are forward-only (no nablas VJP), so
+        # rayschunk alone bounds memory — and the lax.map micro-block path
+        # miscompiles the sharp-s NeuS render on this environment's TPU
+        # backend (round-3 probe: 23 dB with lax.map vs 44 dB without, same
+        # params/rays; CPU identical either way; docs/methods.md)
+        parser.add_argument("--microchunk", type=int, default=0)
         parser.add_argument("--mesh_N", type=int, default=256)
         parser.add_argument("--edge_px", type=int, default=2)
         parser.add_argument("--out", type=str, default=None)
