@@ -135,7 +135,7 @@ if __name__ == "__main__":
     evaluate_ckpts(config, config.ckpts, gt_mesh=config.get("gt_mesh"),
                    n_eval=config.get("n_eval"),
                    rayschunk=int(config.get("rayschunk", 8192)),
-                   microchunk=int(config.get("microchunk", 2048)),
+                   microchunk=int(config.get("microchunk", 0)),
                    mesh_N=int(config.get("mesh_N", 256)),
                    edge_px=int(config.get("edge_px", 2)),
                    out_path=config.get("out"))

@@ -123,7 +123,9 @@ def main_function(args):
             jnp.asarray(intrinsics), H, W, N_rays=-1)
         ret = render_full_image(render_fn, params, rays_o, rays_d,
                                 jax.random.PRNGKey(i), rayschunk=rayschunk,
-                                microchunk=int(args.get("microchunk", 0)) or None)
+                                microchunk=int(args.get("microchunk", 0)) or None,
+                                microchunk_unroll=bool(
+                                    args.get("microchunk_unroll", False)))
         rgb_imgs.append(ret["rgb"].reshape(H, W, 3))
         depth = ret["depth_volume"] if "depth_volume" in ret else ret["depth"]
         depth = np.nan_to_num(depth.reshape(H, W, 1), posinf=0.0)
@@ -175,6 +177,10 @@ if __name__ == "__main__":
         parser.add_argument("--microchunk", type=int, default=0,
                             help="rays per lax.map block inside one dispatch "
                                  "(caps activation memory at large rayschunk)")
+        parser.add_argument("--microchunk_unroll", action="store_true",
+                            help="walk micro blocks with straight-line XLA "
+                                 "instead of lax.map — the TPU workaround for "
+                                 "sharp-s NeuS normal renders (docs/methods.md)")
         parser.add_argument("--camera_path", type=str, default="interpolation")
         parser.add_argument("--camera_inds", type=str, default="11,15")
         parser.add_argument("--load_pt", type=str, default=None)

@@ -151,6 +151,7 @@ _RENDER_JIT_CACHE = {}  # (render_fn id, chunk, kwargs) -> jitted chunk renderer
 
 def render_full_image(render_fn, params, rays_o, rays_d, key,
                       rayschunk: int = 4096, mesh=None, microchunk=None,
+                      microchunk_unroll: bool = False,
                       **render_call_kwargs):
     """Render all rays of an image with a fixed-chunk jitted renderer.
 
@@ -170,6 +171,13 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     the mesh's devices — the multi-chip validation/eval path (replaces the
     reference's DataParallel val renders; the chunk size is rounded up to a
     multiple of the mesh size).
+
+    `microchunk_unroll=True` walks the micro blocks with a Python loop inside
+    the jit (straight-line XLA, static trip count) instead of `lax.map`.
+    Same semantics, larger program (~n_micro x the render graph, slower
+    compile) — the workaround for the TPU backend miscompiling the sharp-s
+    NeuS render under a scan loop (docs/methods.md, round-3 case study);
+    use it when a NeuS normal render needs micro-blocking on TPU.
     """
     import numpy as np
 
@@ -198,6 +206,7 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
         raise ValueError(f"rayschunk {rayschunk} must be a multiple of "
                          f"microchunk {microchunk}")
     cache_key = (id(render_fn), rayschunk, id(mesh), microchunk,
+                 bool(microchunk_unroll),
                  tuple(sorted(render_call_kwargs.items())))
     chunked = _RENDER_JIT_CACHE.get(cache_key)
     if chunked is None:
@@ -231,6 +240,10 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
                     mesh, PartitionSpec(None, mesh.axis_names[0], None))
                 ob = jax.lax.with_sharding_constraint(ob, blk)
                 db = jax.lax.with_sharding_constraint(db, blk)
+            if microchunk_unroll:
+                blocks = [body((ob[i], db[i], i)) for i in range(n_micro)]
+                return jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, 0), *blocks)
             out = jax.lax.map(body, (ob, db, jnp.arange(n_micro)))
             return jax.tree_util.tree_map(
                 lambda x: x.reshape((n_micro * microchunk,) + x.shape[2:]), out)

@@ -63,11 +63,16 @@ def test_microchunk_composes_with_mesh():
                                 rayschunk=64, mesh=mesh)
     micro = render_full_image(render, params, rays_o, rays_d, key,
                               rayschunk=64, mesh=mesh, microchunk=16)
+    unroll = render_full_image(render, params, rays_o, rays_d, key,
+                               rayschunk=64, mesh=mesh, microchunk=16,
+                               microchunk_unroll=True)
     for k in plain:
         np.testing.assert_allclose(sharded[k], plain[k], rtol=2e-3, atol=1e-4,
                                    err_msg=f"sharded != plain on {k}")
         np.testing.assert_allclose(micro[k], plain[k], rtol=2e-3, atol=1e-4,
                                    err_msg=f"sharded+microchunk != plain on {k}")
+        np.testing.assert_allclose(unroll[k], plain[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=f"sharded+unroll != plain on {k}")
 
 
 class TestMicrochunk:
@@ -89,6 +94,33 @@ class TestMicrochunk:
                               rayschunk=128)
         b = render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
                               rayschunk=128, microchunk=32)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_microchunk_unroll_equals_map(self):
+        """The straight-line (Python-unrolled) micro-block path — the TPU
+        workaround for the lax.map miscompile (docs/methods.md) — must be
+        bit-identical to the lax.map path, including per-block key fold_in
+        (fold_in(k, int) == fold_in(k, traced int))."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from neurecon_tpu.training import render_full_image
+
+        def render_fn(p, o, d, k, **kw):
+            r = jax.random.uniform(k, (o.shape[0],))
+            rgb = jnp.tanh(jnp.stack([o[:, 0] * d[:, 1], d[:, 0], o[:, 2]], -1))
+            return rgb, r, {"normals_volume": d * 2}
+
+        rng = np.random.RandomState(5)
+        o = rng.randn(256, 3).astype(np.float32)
+        d = rng.randn(256, 3).astype(np.float32)
+        key = jax.random.PRNGKey(0)
+        a = render_full_image(render_fn, {}, o, d, key,
+                              rayschunk=128, microchunk=32)
+        b = render_full_image(render_fn, {}, o, d, key,
+                              rayschunk=128, microchunk=32,
+                              microchunk_unroll=True)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
 
