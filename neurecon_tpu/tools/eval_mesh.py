@@ -52,6 +52,14 @@ def main_function(args):
         S = cams["scale_mat_0"]
         verts_p = verts_p @ S[:3, :3].T + S[:3, 3]
 
+    if len(faces_p) == 0 or len(faces_g) == 0:
+        # e.g. a collapsed model whose SDF never crosses zero: report the
+        # empty side instead of crashing in sample_surface
+        result = {"chamfer": None, "no_surface": True,
+                  "empty": "pred" if len(faces_p) == 0 else "gt"}
+        print(json.dumps(result))
+        return result
+
     pts_p = sample_surface(verts_p, faces_p, args.n_samples)
     pts_g = sample_surface(verts_g, faces_g, args.n_samples, seed=1)
     cd, acc, comp = chamfer_distance(pts_p, pts_g)

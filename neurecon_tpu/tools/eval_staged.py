@@ -100,9 +100,18 @@ def evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=None, rayschunk=8192,
                     volume_size=float(args.data.get("volume_size", 2.0)),
                     N=mesh_N, filepath=tmp.name)
                 vp, fp = read_ply(tmp.name)
-            pts_p = sample_surface(vp, fp, n_samples)
-            cd, acc, comp = chamfer_distance(pts_p, gt_pts)
-            row.update({"chamfer": cd, "accuracy": acc, "completeness": comp})
+            if len(fp) == 0:
+                # a collapsed model (SDF with no zero crossing inside the
+                # volume, e.g. the SIREN-VolSDF failure mode) yields an empty
+                # mesh; report it instead of crashing out of the whole eval
+                log.warning(f"eval_staged: {ckpt}: no surface inside the "
+                            f"volume (empty mesh) — chamfer skipped")
+                row.update({"chamfer": None, "no_surface": True})
+            else:
+                pts_p = sample_surface(vp, fp, n_samples)
+                cd, acc, comp = chamfer_distance(pts_p, gt_pts)
+                row.update({"chamfer": cd, "accuracy": acc,
+                            "completeness": comp})
 
         log.info(f"eval_staged: {json.dumps(row)}")
         print(json.dumps(row), flush=True)

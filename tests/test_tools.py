@@ -135,6 +135,29 @@ class TestEvalMesh:
         cd, *_ = chamfer_distance(pts, pts * 1.4)  # radius 0.5 -> 0.7
         assert abs(cd - 0.2) < 0.03
 
+    def test_empty_mesh_reported_not_crashed(self, tmp_path):
+        """A collapsed model (SDF with no zero crossing, the SIREN-VolSDF
+        failure mode) yields an empty mesh; the CLI must report it instead
+        of crashing in sample_surface's area-weighted rng.choice."""
+        import argparse
+
+        from neurecon_tpu.tools.eval_mesh import main_function
+        from neurecon_tpu.utils.mesh import marching_tetrahedra, write_ply
+        ax = np.linspace(-1, 1, 8)
+        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+        # all-positive field -> no surface
+        verts_e, faces_e = marching_tetrahedra(
+            np.sqrt(x**2 + y**2 + z**2) + 0.5)
+        assert len(faces_e) == 0
+        empty, gt = str(tmp_path / "e.ply"), str(tmp_path / "g.ply")
+        write_ply(empty, verts_e, faces_e)
+        verts, faces = marching_tetrahedra(np.sqrt(x**2 + y**2 + z**2) - 0.6)
+        write_ply(gt, verts, faces)
+        res = main_function(argparse.Namespace(
+            pred=empty, gt=gt, n_samples=100, scale_mat=None))
+        assert res["no_surface"] and res["empty"] == "pred"
+        assert res["chamfer"] is None
+
 
 class TestPSNR:
     def test_psnr_values(self):
