@@ -210,6 +210,16 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
                  tuple(sorted(render_call_kwargs.items())))
     chunked = _RENDER_JIT_CACHE.get(cache_key)
     if chunked is None:
+        if (microchunk and not microchunk_unroll
+                and jax.default_backend() != "cpu"):
+            # the TPU backend miscompiles the sharp-s NeuS upsampler inside a
+            # lax.map/scan loop (docs/methods.md round-3 case study; bisect in
+            # docs/probes/) — the unrolled mode is the validated path there
+            log.warning(
+                "render_full_image: microchunk uses a lax.map loop, which the "
+                "TPU backend is known to miscompile for sharp-s NeuS renders "
+                "(docs/methods.md); pass microchunk_unroll=True (or "
+                "--microchunk_unroll) if results look degraded")
         jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
