@@ -225,9 +225,12 @@ def bench_render():
     best = float("inf")
     for trial in range(3):  # trial 0 pays the compile; best-of discards it
         t0 = time.perf_counter()
+        # microchunk_unroll: the TPU-safe micro-block mode (the lax.map one
+        # miscompiles sharp-s NeuS — docs/methods.md); bench the path users
+        # are told to use
         render_full_image(render, params, rays_o, rays_d,
                           jax.random.PRNGKey(trial), rayschunk=18000,
-                          microchunk=2250)
+                          microchunk=2250, microchunk_unroll=True)
         best = min(best, time.perf_counter() - t0)
     return best
 
