@@ -124,6 +124,38 @@ class TestMicrochunk:
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
 
+    def test_microchunk_lax_map_warns_on_tpu(self, monkeypatch):
+        """On a non-CPU backend the lax.map micro-block path must warn once
+        (the TPU miscompile, docs/methods.md); the unrolled path and the CPU
+        backend must not."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import neurecon_tpu.training as training
+
+        def render_fn(p, o, d, k, **kw):
+            return o * 2, jnp.zeros(o.shape[0]), {}
+
+        o = np.zeros((64, 3), np.float32)
+        warnings = []
+        monkeypatch.setattr(training.log, "warning",
+                            lambda msg, *a: warnings.append(msg))
+
+        def run(**kw):
+            render_full_image = training.render_full_image
+            render_full_image(render_fn, {}, o, o, jax.random.PRNGKey(0),
+                              rayschunk=32, **kw)
+
+        run(microchunk=8)                          # cpu backend: silent
+        assert not warnings
+        monkeypatch.setattr(training.jax, "default_backend", lambda: "tpu")
+        run(microchunk=16)                         # fresh cache key: warns
+        assert len(warnings) == 1 and "lax.map" in warnings[0]
+        run(microchunk=16)                         # cache hit: no re-warn
+        assert len(warnings) == 1
+        run(microchunk=4, microchunk_unroll=True)  # unroll: silent
+        assert len(warnings) == 1
+
     def test_microchunk_must_divide(self):
         import jax
         import numpy as np
