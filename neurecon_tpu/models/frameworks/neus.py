@@ -28,6 +28,8 @@ import numpy as np
 
 from neurecon_tpu.models.base import NeRF, ImplicitSurface, RadianceNet
 from neurecon_tpu.ops import near_far_from_sphere, sample_pdf
+from neurecon_tpu.ops.fused_upsample import (fused_neus_upsample,
+                                             fused_upsample_enabled)
 
 
 def cdf_Phi_s(x, s):
@@ -165,9 +167,30 @@ def neus_upsample(model: NeuS, params, rays_o, rays_d, d_coarse, key,
         return jax.lax.stop_gradient(d_all)
 
     assert upsample_algo == "official_solution", upsample_algo
+    n_per_iter = N_importance // N_upsample_iters
+    if fused_upsample_enabled():
+        # Pallas megakernel: the whole loop below in one VMEM-resident
+        # kernel (ops/fused_upsample.py). Same key-split sequence; sorted
+        # per-round uniforms give the same sample SET, and the merged
+        # output is sorted either way.
+        us = []
+        for i in range(N_upsample_iters):
+            key, sub = jax.random.split(key)
+            if perturb:
+                us.append(jnp.sort(
+                    jax.random.uniform(
+                        sub, d_coarse.shape[:-1] + (n_per_iter,)), axis=-1))
+            else:
+                us.append(jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, n_per_iter),
+                    d_coarse.shape[:-1] + (n_per_iter,)))
+        d_all = fused_neus_upsample(
+            model.implicit_surface, sg_params["implicit_surface"],
+            rays_o, rays_d, d_coarse, jnp.concatenate(us, axis=-1),
+            n_iters=N_upsample_iters, n_per_iter=n_per_iter)
+        return jax.lax.stop_gradient(d_all)
     _d = d_coarse
     _sdf = query_sdf(_d)
-    n_per_iter = N_importance // N_upsample_iters
     for i in range(N_upsample_iters):
         key, sub = jax.random.split(key)
         prev_sdf, next_sdf = _sdf[..., :-1], _sdf[..., 1:]

@@ -82,7 +82,15 @@ def build_padded_weights(surface, params):
     return flat
 
 
-def _make_kernel(D: int, skips: tuple, use_siren: bool):
+def apply_layer_chain(emb, wb, D: int, skips, use_siren: bool):
+    """Run the full ImplicitSurface layer chain on VMEM-resident values.
+
+    emb: [M, C_pad] embedded (padded) inputs; wb: flat sequence of loaded
+    (w_t, b) arrays in `build_padded_weights` order (skip layers contribute an
+    extra (w_emb, zero-bias) pair). Returns the final pre-activation
+    [M, 128] whose lane 0 is the sdf. Shared by the fused-MLP kernel and the
+    fused-upsampler megakernel.
+    """
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     skips = set(skips)
 
@@ -91,32 +99,34 @@ def _make_kernel(D: int, skips: tuple, use_siren: bool):
             return jnp.sin(30.0 * x)
         return jax.nn.softplus(100.0 * x) / 100.0
 
+    h = None
+    wi = 0
+    for l in range(D + 1):
+        w_t = wb[2 * wi]
+        b = wb[2 * wi + 1]
+        if l == 0:
+            pre = jnp.dot(emb, w_t, preferred_element_type=jnp.float32) + b
+            wi += 1
+        elif l in skips:
+            w_emb = wb[2 * (wi + 1)]
+            pre = (jnp.dot(h, w_t, preferred_element_type=jnp.float32)
+                   + jnp.dot(emb, w_emb,
+                             preferred_element_type=jnp.float32)
+                   ) * inv_sqrt2 + b
+            wi += 2
+        else:
+            pre = jnp.dot(h, w_t, preferred_element_type=jnp.float32) + b
+            wi += 1
+        if l == D:
+            return pre
+        h = act(pre)
+
+
+def _make_kernel(D: int, skips: tuple, use_siren: bool):
     def kernel(emb_ref, *refs):
         out_ref = refs[-1]
-        wb = refs[:-1]  # alternating w_t, b refs
-        emb = emb_ref[:]
-        h = None
-        wi = 0
-        for l in range(D + 1):
-            w_t = wb[2 * wi][:]
-            b = wb[2 * wi + 1][:]
-            if l == 0:
-                pre = jnp.dot(emb, w_t, preferred_element_type=jnp.float32) + b
-                wi += 1
-            elif l in skips:
-                w_emb = wb[2 * (wi + 1)][:]
-                pre = (jnp.dot(h, w_t, preferred_element_type=jnp.float32)
-                       + jnp.dot(emb, w_emb,
-                                 preferred_element_type=jnp.float32)
-                       ) * inv_sqrt2 + b
-                wi += 2
-            else:
-                pre = jnp.dot(h, w_t, preferred_element_type=jnp.float32) + b
-                wi += 1
-            if l == D:
-                out_ref[:] = pre
-            else:
-                h = act(pre)
+        wb = [r[:] for r in refs[:-1]]  # alternating w_t, b values
+        out_ref[:] = apply_layer_chain(emb_ref[:], wb, D, skips, use_siren)
 
     return kernel
 
