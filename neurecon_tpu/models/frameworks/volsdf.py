@@ -466,6 +466,14 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
     shardable over the ray axis."""
     w_eikonal = float(args.training.w_eikonal)
     eik_bounding_box = float(args.model.obj_bounding_radius)
+    # SIREN-rescue experiment (off by default): the reference-recipe SIREN
+    # run collapses into the empty-scene minimum (sdf > 0 everywhere by 25k,
+    # docs/quality.md); a decaying interior anchor keeps a zero crossing
+    # alive through the fragile phase and vanishes by sdf_anchor_until, so
+    # the converged objective is unchanged.
+    w_anchor = float(args.training.get("w_sdf_anchor", 0.0))
+    anchor_until = max(1, int(args.training.get("sdf_anchor_until", 20000)))
+    anchor_target = float(args.training.get("sdf_anchor_target", -1.0))
     render_fn = make_volume_render_fn(
         model, detailed_output=True,
         **{k: v for k, v in render_kwargs_train.items() if k not in ("H", "W")})
@@ -504,6 +512,14 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
                                   / (jnp.sum(mi) + 1e-10))
         else:
             losses["loss_img"] = jnp.mean(loss_img)
+        if w_anchor > 0.0:
+            # plain (nablas-free) sdf query at the origin: a second
+            # forward_with_nablas instance would crash this environment's
+            # TPU compiler, a tiny plain forward does not
+            sdf0 = model.forward_surface(params, jnp.zeros((1, 3)))
+            wt = w_anchor * jnp.maximum(0.0, 1.0 - it / anchor_until)
+            losses["loss_sdf_anchor"] = wt * jnp.mean(
+                (sdf0 - anchor_target) ** 2)
 
         total = sum(losses.values())
         losses["total"] = total

@@ -246,3 +246,58 @@ class TestTraining:
         a, b = model.forward_ab(params)
         np.testing.assert_allclose(float(b), 0.1, rtol=1e-5)
         np.testing.assert_allclose(float(a), 10.0, rtol=1e-5)
+
+
+class TestSdfAnchor:
+    """SIREN-rescue interior anchor (training.w_sdf_anchor): present and
+    decaying when configured, absent by default, gradient-carrying."""
+
+    def _loss(self, w_anchor):
+        from neurecon_tpu.models.frameworks.volsdf import make_ray_loss_fn
+        training = {"w_eikonal": 0.1, "lr": 5e-4, "speed_factor": 10.0}
+        if w_anchor:
+            training.update({"w_sdf_anchor": w_anchor,
+                             "sdf_anchor_until": 100,
+                             "sdf_anchor_target": -1.0})
+        args = ConfigDict({
+            "data": {"N_rays": 16},
+            "model": {"framework": "VolSDF", "obj_bounding_radius": 3.0},
+            "training": training,
+        })
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        loss = make_ray_loss_fn(model, args, {"H": 8, "W": 8, "perturb": True,
+                                              **RENDER_SMALL})
+        rays_o = jnp.zeros((16, 3)).at[:, 2].set(-2.5)
+        rays_d = jnp.zeros((16, 3)).at[:, 2].set(1.0)
+        rb = {"rays_o": rays_o, "rays_d": rays_d,
+              "target_rgb": jnp.full((16, 3), 0.5)}
+        return model, params, loss, rb
+
+    def test_absent_by_default(self):
+        model, params, loss, rb = self._loss(0.0)
+        _, (losses, _) = loss(params, rb, jax.random.PRNGKey(1), 0)
+        assert "loss_sdf_anchor" not in losses
+
+    def test_present_and_decaying(self):
+        model, params, loss, rb = self._loss(0.5)
+        key = jax.random.PRNGKey(1)
+        _, (l0, _) = loss(params, rb, key, 0)
+        _, (l50, _) = loss(params, rb, key, 50)
+        _, (l100, _) = loss(params, rb, key, 100)
+        a0 = float(l0["loss_sdf_anchor"])
+        a50 = float(l50["loss_sdf_anchor"])
+        a100 = float(l100["loss_sdf_anchor"])
+        # geometric init puts sdf(0) near -radius_init=-1 = target, so the
+        # anchor is small but nonzero at it=0, halves by it=50, gone at 100
+        assert a0 > 0.0
+        assert abs(a50 - 0.5 * a0) < 0.1 * a0
+        assert a100 == 0.0
+
+    def test_gradient_flows_to_surface(self):
+        model, params, loss, rb = self._loss(0.5)
+        g = jax.grad(lambda p: loss(p, rb, jax.random.PRNGKey(1), 0)[0])(
+            params)
+        leaves = jax.tree_util.tree_leaves(g["implicit_surface"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
