@@ -44,9 +44,17 @@ def sdf_to_alpha(sdf, s):
 
 
 def alpha_to_w(alpha):
-    """alpha [..., P] -> visibility weights via shifted-transmittance cumprod."""
+    """alpha [..., P] -> visibility weights via shifted-transmittance cumprod.
+
+    max(1-alpha, 0) is written out (alpha <= 1 anyway) to defeat an XLA
+    reassociation: `1.0 - alpha + 1e-10` gets rewritten to
+    `(1.0 + 1e-10) - alpha` == `1.0 - alpha` (1e-10 is below the f32 ulp of
+    1), which silently deletes the reference's stabilizer under jit
+    (docs/probes/xla_stabilizer_fold_probe.py; ref utils.py alpha->w).
+    """
     shifted_transparency = jnp.concatenate(
-        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1)
+        [jnp.ones_like(alpha[..., :1]),
+         jnp.maximum(1.0 - alpha, 0.0) + 1e-10], axis=-1)
     return alpha * jnp.cumprod(shifted_transparency, axis=-1)[..., :-1]
 
 

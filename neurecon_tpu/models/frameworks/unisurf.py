@@ -214,8 +214,11 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
         nablas = nablas[..., :P_render, :]
 
     opacity_alpha = UNISURF.get_opacity_from_surface(logits)
+    # max(.,0) defeats the XLA reassociation that folds `1 - x + 1e-10`
+    # into `1 - x` (see neus.alpha_to_w / docs/probes)
     shifted_transparency = jnp.concatenate(
-        [jnp.ones_like(opacity_alpha[..., :1]), 1.0 - opacity_alpha + 1e-10],
+        [jnp.ones_like(opacity_alpha[..., :1]),
+         jnp.maximum(1.0 - opacity_alpha, 0.0) + 1e-10],
         axis=-1)
     visibility_weights = opacity_alpha * jnp.cumprod(
         shifted_transparency, axis=-1)[..., :-1]

@@ -401,7 +401,9 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
     # ray integration: p_i = exp(-relu(σδ)); τ_i = (1-p_i)·cumprod(shifted p)
     delta_i = d_all[..., 1:] - d_all[..., :-1]
     p_i = jnp.exp(-jnp.maximum(sigma[..., :-1] * delta_i, 0.0))
-    tau_i = (1 - p_i + 1e-10) * jnp.cumprod(
+    # max(.,0) defeats the XLA reassociation that folds `1 - x + 1e-10`
+    # into `1 - x` (see neus.alpha_to_w / docs/probes)
+    tau_i = (jnp.maximum(1 - p_i, 0.0) + 1e-10) * jnp.cumprod(
         jnp.concatenate([jnp.ones_like(p_i[..., :1]), p_i], axis=-1),
         axis=-1)[..., :-1]
 

@@ -50,6 +50,17 @@ class TestSdfToAlpha:
         assert float(alpha.min()) >= 0.0 and float(alpha.max()) <= 1.0 + 1e-6
         assert float(w.sum(-1).max()) <= 1.0 + 1e-5
 
+    def test_stabilizer_survives_jit(self):
+        """XLA reassociates `1 - alpha + 1e-10` into `(1 + 1e-10) - alpha`
+        and folds the constant away (1e-10 < ulp(1.0) in f32), silently
+        deleting the reference's transmittance stabilizer under jit — see
+        docs/probes/xla_stabilizer_fold_probe.py. alpha_to_w must keep
+        transmittance strictly positive after a fully-opaque sample."""
+        alpha = jnp.asarray([[1.0, 0.5]], jnp.float32)
+        w = jax.jit(alpha_to_w)(alpha)
+        assert float(w[0, 1]) > 0.0, "stabilizer folded away under jit"
+        np.testing.assert_allclose(float(w[0, 1]), 0.5e-10, rtol=1e-3)
+
     def test_cdf_phi_is_sigmoid(self):
         x = jnp.linspace(-1, 1, 11)
         np.testing.assert_allclose(np.asarray(cdf_Phi_s(x, 10.0)),
