@@ -44,8 +44,13 @@ from .fused_mlp import apply_layer_chain, build_padded_weights, _round_up
 
 
 def fused_upsample_enabled() -> bool:
-    """Opt-in production gate: NEURECON_FUSED_UPSAMPLE=1 on a real TPU."""
-    if os.environ.get("NEURECON_FUSED_UPSAMPLE", "0") != "1":
+    """Opt-in production gate: NEURECON_FUSED_UPSAMPLE=1 on a real TPU.
+    The value "interpret" enables it on any backend (interpreter-mode
+    kernel) so CPU tests can drive the full train step through it."""
+    val = os.environ.get("NEURECON_FUSED_UPSAMPLE", "0")
+    if val == "interpret":
+        return True
+    if val != "1":
         return False
     return jax.default_backend() == "tpu"
 

@@ -176,3 +176,46 @@ def _assert_depths_close(got, ref, d_coarse, frac_tol=5e-3):
     assert frac_off < frac_tol, (
         f"{frac_off:.4%} of samples off (max diff {diff.max():.3e})")
     assert diff.max() <= span / 8, "no sample may move more than a bin range"
+
+
+class TestTrainStepIntegration:
+    """Full train step through the megakernel (interpret mode): the gate
+    value "interpret" turns the fused path on for any backend, so this
+    catches integration issues (key-splitting inside the renderer, jit of
+    pallas_call inside the compiled step) without a TPU."""
+
+    def test_losses_match_xla_path(self, monkeypatch):
+        from neurecon_tpu.models.frameworks.neus import (get_model,
+                                                         make_ray_loss_fn)
+        from __graft_entry__ import _flagship_args
+
+        args, _, _ = _flagship_args(N_rays=32)
+        args.model.surface.update({"W": 64, "D": 3, "skips": [1],
+                                   "embed_multires": 4})
+        args.model.radiance.update({"W": 32, "D": 2})
+        model, _tf, kw, _, _ = get_model(args)
+        params = model.init(jax.random.PRNGKey(0))
+        rays_o, rays_d = _rays(32)
+        rb = {"rays_o": rays_o, "rays_d": rays_d,
+              "target_rgb": jnp.full((32, 3), 0.5),
+              "target_mask": jnp.ones((32,), bool)}
+        rk = dict(kw)
+        rk.update({"H": 8, "W": 8, "perturb": True,
+                   "N_samples": 32, "N_importance": 32,
+                   "N_upsample_iters": 2})
+        key = jax.random.PRNGKey(5)
+
+        def total(pathval):
+            monkeypatch.setenv("NEURECON_FUSED_UPSAMPLE", pathval)
+            loss = make_ray_loss_fn(model, args, rk)
+            t, (losses, _) = jax.jit(
+                lambda p, k: loss(p, rb, k, 0))(params, key)
+            return float(t)
+
+        t_xla = total("0")
+        t_fused = total("interpret")
+        # same key => same per-round uniform SETS => same merged samples up
+        # to searchsorted boundary flips; the loss must agree closely
+        assert np.isfinite(t_fused)
+        assert abs(t_xla - t_fused) < 5e-3 * max(1.0, abs(t_xla)), (
+            t_xla, t_fused)
