@@ -121,11 +121,19 @@ def main_function(args):
         rays_o, rays_d, _ = get_rays(
             jax.random.PRNGKey(0), jnp.asarray(c2w, jnp.float32),
             jnp.asarray(intrinsics), H, W, N_rays=-1)
+        cull_r = None
+        if args.get("cull_miss", False):
+            # host-side empty-space skip: only rays that hit the bounding
+            # sphere go through the network (training.render_full_image)
+            cull_r = float(args.model.get("obj_bounding_radius", 1.0))
         ret = render_full_image(render_fn, params, rays_o, rays_d,
                                 jax.random.PRNGKey(i), rayschunk=rayschunk,
                                 microchunk=int(args.get("microchunk", 0)) or None,
                                 microchunk_unroll=bool(
-                                    args.get("microchunk_unroll", False)))
+                                    args.get("microchunk_unroll", False)),
+                                cull_sphere_r=cull_r,
+                                miss_rgb=1.0 if render_kwargs_test.get(
+                                    "white_bkgd", False) else 0.0)
         rgb_imgs.append(ret["rgb"].reshape(H, W, 3))
         depth = ret["depth_volume"] if "depth_volume" in ret else ret["depth"]
         depth = np.nan_to_num(depth.reshape(H, W, 1), posinf=0.0)
@@ -177,6 +185,10 @@ if __name__ == "__main__":
         parser.add_argument("--microchunk", type=int, default=0,
                             help="rays per lax.map block inside one dispatch "
                                  "(caps activation memory at large rayschunk)")
+        parser.add_argument("--cull_miss", action="store_true",
+                            help="skip rays that miss the bounding sphere "
+                                 "(host-side partition; volume mode only, "
+                                 "not for nerf++-outside models)")
         parser.add_argument("--microchunk_unroll", action="store_true",
                             help="walk micro blocks with straight-line XLA "
                                  "instead of lax.map — the TPU workaround for "

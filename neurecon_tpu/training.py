@@ -152,6 +152,7 @@ _RENDER_JIT_CACHE = {}  # (render_fn id, chunk, kwargs) -> jitted chunk renderer
 def render_full_image(render_fn, params, rays_o, rays_d, key,
                       rayschunk: int = 4096, mesh=None, microchunk=None,
                       microchunk_unroll: bool = False,
+                      cull_sphere_r: float = None, miss_rgb: float = 0.0,
                       **render_call_kwargs):
     """Render all rays of an image with a fixed-chunk jitted renderer.
 
@@ -178,12 +179,51 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     compile) — the workaround for the TPU backend miscompiling the sharp-s
     NeuS render under a scan loop (docs/methods.md, round-3 case study);
     use it when a NeuS normal render needs micro-blocking on TPU.
+
+    `cull_sphere_r` (eval accelerator, off by default): host-side partition
+    of the frame's rays by bounding-sphere intersection — only hitting rays
+    go through the network; missing rays get `miss_rgb` and zeros. Since
+    eval is host-driven chunking anyway, this is the TPU-shaped form of
+    empty-space skipping (two fixed-shape batches, no dynamic shapes on
+    device). For a typical object view most rays miss, so the volume render
+    speeds up ~(frame pixels / object pixels)x. Exact for the rgb of true
+    miss rays up to the renderer's sigmoid-tail residual (~1e-6); miss-ray
+    depth/extras are zeroed rather than the production soft-argmax
+    (background depth is visualization-only). Not for training or for
+    nerf++-outside models (their background is view-dependent).
     """
     import numpy as np
 
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
     N = rays_o.shape[0]
+
+    if cull_sphere_r:
+        o_np = np.asarray(rays_o, np.float64)
+        d_np = np.asarray(rays_d, np.float64)
+        dn = d_np / np.linalg.norm(d_np, axis=-1, keepdims=True)
+        t_mid = -np.sum(o_np * dn, axis=-1)
+        closest = o_np + t_mid[:, None] * dn
+        # hit iff the (forward) ray comes within r of the origin
+        hit = ((np.linalg.norm(closest, axis=-1) <= cull_sphere_r)
+               & (t_mid + cull_sphere_r > 0))
+        if not hit.all():
+            hit_idx = np.nonzero(hit)[0]
+            # zero hits: run one ray through to learn the output structure
+            probe_idx = hit_idx if hit_idx.size else np.asarray([0])
+            sub = render_full_image(
+                render_fn, params, rays_o[probe_idx], rays_d[probe_idx],
+                key, rayschunk=rayschunk, mesh=mesh, microchunk=microchunk,
+                microchunk_unroll=microchunk_unroll, **render_call_kwargs)
+            out = {}
+            for k, v in sub.items():
+                full = np.zeros((N,) + v.shape[1:], v.dtype)
+                if k == "rgb":
+                    full[...] = miss_rgb
+                if hit_idx.size:
+                    full[hit_idx] = v
+                out[k] = full
+            return out
     # deterministic renderers (surface rendering) declare uses_key=False and a
     # param_filter; the key / unused param subtrees must then NOT be program
     # parameters — unused jit parameters crash this environment's AOT compiler

@@ -190,3 +190,65 @@ class TestMicrochunk:
                           rayschunk=128, microchunk=-1)
         render_full_image(render_fn, {}, o, d, jax.random.PRNGKey(0),
                           rayschunk=128, microchunk=256)
+
+
+class TestCullMiss:
+    """Host-side bounding-sphere culling (render_full_image cull_sphere_r):
+    hit rays must match the uncalled full render; miss rays get miss_rgb
+    exactly, and the full render's own miss-ray rgb must be within the
+    documented sigmoid-tail residual of that value."""
+
+    def _setup(self):
+        from tests.test_neus import tiny_model
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        render = make_volume_render_fn(model, N_samples=16, N_importance=16,
+                                       perturb=False, detailed_output=False,
+                                       calc_normal=True)
+        N = 96
+        rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, -3.0]), (N, 3))
+        th = jnp.linspace(-0.8, 0.8, N)  # |th| > ~0.34 misses the r=1 sphere
+        rays_d = jnp.stack([jnp.sin(th), jnp.zeros(N), jnp.cos(th)], -1)
+        return model, params, render, rays_o, rays_d
+
+    def test_culled_matches_full(self):
+        from neurecon_tpu.training import render_full_image
+        model, params, render, rays_o, rays_d = self._setup()
+        key = jax.random.PRNGKey(1)
+        full = render_full_image(render, params, rays_o, rays_d, key,
+                                 rayschunk=32)
+        culled = render_full_image(render, params, rays_o, rays_d, key,
+                                   rayschunk=32, cull_sphere_r=1.0,
+                                   miss_rgb=0.0)
+        o = np.asarray(rays_o, np.float64)
+        dn = np.asarray(rays_d, np.float64)
+        dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+        t_mid = -np.sum(o * dn, -1)
+        hit = np.linalg.norm(o + t_mid[:, None] * dn, axis=-1) <= 1.0
+        assert 10 < hit.sum() < len(hit) - 10, "need both hits and misses"
+        np.testing.assert_allclose(culled["rgb"][hit], full["rgb"][hit],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(culled["rgb"][~hit], 0.0)
+        # the residual the shortcut drops really is tiny
+        assert np.abs(full["rgb"][~hit]).max() < 5e-3
+        np.testing.assert_allclose(culled["normals_volume"][hit],
+                                   full["normals_volume"][hit],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_no_hits_and_all_hits_paths(self):
+        from neurecon_tpu.training import render_full_image
+        model, params, render, rays_o, rays_d = self._setup()
+        key = jax.random.PRNGKey(1)
+        # all rays miss a tiny sphere: structure comes from the probe ray
+        culled = render_full_image(render, params, rays_o, rays_d, key,
+                                   rayschunk=32, cull_sphere_r=1e-4,
+                                   miss_rgb=0.25)
+        assert culled["rgb"].shape == (96, 3)
+        np.testing.assert_array_equal(culled["rgb"], 0.25)
+        # all rays hit a huge sphere: falls through to the plain path
+        full = render_full_image(render, params, rays_o, rays_d, key,
+                                 rayschunk=32)
+        culled_all = render_full_image(render, params, rays_o, rays_d, key,
+                                       rayschunk=32, cull_sphere_r=50.0)
+        np.testing.assert_allclose(culled_all["rgb"], full["rgb"],
+                                   rtol=1e-6, atol=1e-7)
