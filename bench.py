@@ -201,10 +201,13 @@ def bench_unisurf():
     return _measure_train(args, H, W, "UNISURF")
 
 
-def bench_render():
+def bench_render(cull: bool = False):
     """Volume-render one full 360x400 NeuS frame (rgb+depth+normals) through
     render_full_image — the tools/render_view.py workload at the reference's
-    published resolution (ref docs/usage.md:270-275)."""
+    published resolution (ref docs/usage.md:270-275). cull=True adds the
+    host-side bounding-sphere ray culling (render_view --cull_miss): same
+    image up to the <5e-3 background residual (tested), only hitting rays
+    touch the network."""
     from neurecon_tpu.training import render_full_image
     from neurecon_tpu.models.frameworks.neus import get_model
     from neurecon_tpu.ops import get_rays_at
@@ -230,7 +233,8 @@ def bench_render():
         # are told to use
         render_full_image(render, params, rays_o, rays_d,
                           jax.random.PRNGKey(trial), rayschunk=18000,
-                          microchunk=2250, microchunk_unroll=True)
+                          microchunk=2250, microchunk_unroll=True,
+                          cull_sphere_r=1.0 if cull else None)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -257,6 +261,15 @@ def main():
             spf, "sec/frame", BASELINE_RENDER_S_PER_FRAME / spf))
     except Exception as e:
         print(f"# bench[render] failed: {str(e).splitlines()[0][:120]}",
+              flush=True)
+
+    try:
+        spf = bench_render(cull=True)
+        results.append((
+            "NeuS full-frame volume render 360x400 + miss-ray culling",
+            spf, "sec/frame", BASELINE_RENDER_S_PER_FRAME / spf))
+    except Exception as e:
+        print(f"# bench[render+cull] failed: {str(e).splitlines()[0][:120]}",
               flush=True)
 
     # flagship last (and mandatory: a failure here fails the bench)
