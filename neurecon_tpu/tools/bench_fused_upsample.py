@@ -98,6 +98,28 @@ def main():
         finally:
             os.environ["NEURECON_FUSED_UPSAMPLE"] = "0"
 
+    # --- 2b. megakernel tile-size sweep (direct call, fixed uniforms) ---
+    from neurecon_tpu.ops.fused_upsample import fused_neus_upsample
+    sgp = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    for tile in (16, 32, 64):
+        try:
+            def fused_only(c, k, tile=tile):
+                us = []
+                kk = k
+                for _ in range(4):
+                    kk, sub = jax.random.split(kk)
+                    us.append(jnp.sort(jax.random.uniform(sub, (N, 16)), -1))
+                d = fused_neus_upsample(
+                    model.implicit_surface, sgp["implicit_surface"],
+                    rays_o, rays_d, d_coarse, jnp.concatenate(us, -1),
+                    n_iters=4, n_per_iter=16, tile=tile, interpret=False)
+                return c + jnp.sum(d)
+            scan_time(fused_only, jnp.zeros(()), K=30,
+                      name=f"megakernel direct tile={tile}")
+        except Exception as e:
+            print(f"# tile={tile} failed: {str(e).splitlines()[0][:140]}",
+                  flush=True)
+
     # --- 3. full train step ---
     target = jnp.ones((N, 3)) * 0.5
     tmask = jnp.ones((N,), bool)
