@@ -514,6 +514,7 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
                                   / (jnp.sum(mi) + 1e-10))
         else:
             losses["loss_img"] = jnp.mean(loss_img)
+        sdf0 = None
         if w_anchor > 0.0:
             # plain (nablas-free) sdf query at the origin: a second
             # forward_with_nablas instance would crash this environment's
@@ -528,6 +529,10 @@ def make_ray_loss_fn(model: VolSDF, args, render_kwargs_train: dict):
         extras["implicit_nablas_norm"] = nablas_norm
         alpha, beta = model.forward_ab(params)
         extras["scalars"] = {"beta": beta, "alpha": alpha}
+        if sdf0 is not None:
+            # collapse forensics need the sdf(0) trajectory (docs/quality.md:
+            # the un-anchored run drifts +0.47 -> +0.78 with no zero crossing)
+            extras["scalars"]["sdf_origin"] = sdf0[0]
         return total, (losses, extras)
 
     return ray_loss
