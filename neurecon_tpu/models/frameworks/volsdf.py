@@ -34,6 +34,7 @@ from neurecon_tpu.ops import (
     sample_cdf,
     sample_pdf,
 )
+from neurecon_tpu.ops.fused_fine_sample import fused_fine_sample_enabled
 
 
 def sdf_to_sigma(sdf, alpha, beta):
@@ -165,6 +166,42 @@ def fine_sample(query_sdf_fn, init_dvals, rays_o, rays_d,
             jax.lax.stop_gradient(final_iter_usage))
 
 
+def _fine_sample_dispatch(model, sg_params, d_init, rays_o, rays_d, *,
+                          alpha_net, beta_net, far, key, eps, max_iter,
+                          max_bisection, final_N_importance, N_up, perturb):
+    """fine_sample, or its Pallas megakernel form when the gate is on
+    (ops/fused_fine_sample.py). The fused path pre-draws the per-checkpoint
+    inverse-CDF uniforms with the exact reference key sequence, so the two
+    paths agree elementwise (the interior upsample is det either way)."""
+    if fused_fine_sample_enabled():
+        from neurecon_tpu.ops.fused_fine_sample import fused_fine_sample
+        keys = jax.random.split(key, max_iter + 2)
+        batch = d_init.shape[:-1]
+        us = []
+        for i in range(max_iter + 2):
+            if perturb:
+                us.append(jax.random.uniform(
+                    keys[i], batch + (final_N_importance,)))
+            else:
+                us.append(jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, final_N_importance),
+                    batch + (final_N_importance,)))
+        out = fused_fine_sample(
+            model.implicit_surface, sg_params["implicit_surface"],
+            rays_o, rays_d, d_init, far, alpha_net, beta_net,
+            jnp.concatenate(us, axis=-1), eps=eps, max_iter=max_iter,
+            max_bisection=max_bisection, n_final=final_N_importance,
+            n_up=N_up,
+            sphere_bg_r=(model.obj_bounding_radius
+                         if model.use_sphere_bg else None))
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+    return fine_sample(
+        lambda x: model.forward_surface(sg_params, x), d_init, rays_o,
+        rays_d, alpha_net=alpha_net, beta_net=beta_net, far=far, key=key,
+        eps=eps, max_iter=max_iter, max_bisection=max_bisection,
+        final_N_importance=final_N_importance, N_up=N_up, perturb=perturb)
+
+
 class VolSDF:
     """Stateless VolSDF module: static config + pure init/forward functions."""
 
@@ -285,9 +322,8 @@ def compute_ray_samples(model: VolSDF, params, rays_o, rays_d, key,
     sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
     _t_init = jnp.linspace(0, 1, N_samples * fine_sample_mul)
     d_init = nears * (1 - _t_init) + fars * _t_init
-    return fine_sample(
-        lambda x: model.forward_surface(sg_params, x),
-        d_init, rays_o, rays_d,
+    return _fine_sample_dispatch(
+        model, sg_params, d_init, rays_o, rays_d,
         alpha_net=jax.lax.stop_gradient(alpha),
         beta_net=jax.lax.stop_gradient(beta),
         far=fars, key=key_fine, eps=epsilon, max_iter=max_upsample_steps,
@@ -348,9 +384,8 @@ def volume_render_rays(model: VolSDF, params, rays_o, rays_d, key,
         # denser d_init speeds up up-sampling convergence (ref volsdf.py:425-435)
         _t_init = jnp.linspace(0, 1, N_samples * fine_sample_mul)
         d_init = nears * (1 - _t_init) + fars * _t_init
-        d_fine, beta_map, iter_usage = fine_sample(
-            lambda x: model.forward_surface(sg_params, x),
-            d_init, rays_o, rays_d,
+        d_fine, beta_map, iter_usage = _fine_sample_dispatch(
+            model, sg_params, d_init, rays_o, rays_d,
             alpha_net=jax.lax.stop_gradient(alpha),
             beta_net=jax.lax.stop_gradient(beta),
             far=fars, key=key_fine, eps=epsilon, max_iter=max_upsample_steps,

@@ -89,34 +89,122 @@ def _strict_lower(rows: int, cols: int):
     return (j < s).astype(jnp.float32)
 
 
+def make_point_query(rec, F, wb, D: int, skips, use_siren: bool):
+    """In-kernel closure: depths [T, B] -> sdf [T, B] along the tile's rays.
+
+    rec: [T, 128] ray records (o in lanes 0:3, d in 3:6); F: [8, 128] embed
+    constant (build_embed_const); wb: loaded (w_t, b) values. Shared by the
+    NeuS-upsampler and VolSDF-fine-sample megakernels.
+    """
+    A = (rec[:, 0:1] * F[0:1] + rec[:, 1:2] * F[1:2]
+         + rec[:, 2:3] * F[2:3] + F[3:4])           # [T, 128] o-phase+shift
+    G = (rec[:, 3:4] * F[0:1] + rec[:, 4:5] * F[1:2]
+         + rec[:, 5:6] * F[2:3])                    # [T, 128] d-phase
+    idmask = F[4:5] > 0.5                           # [1, 128]
+
+    def q_sdf(dv):
+        T, B = dv.shape
+        ph = A[:, None, :] + dv[:, :, None] * G[:, None, :]
+        emb = jnp.where(idmask[None], ph, jnp.sin(ph))
+        pre = apply_layer_chain(emb.reshape(T * B, 128), wb,
+                                D, skips, use_siren)
+        pre3 = pre.reshape(T, B, 128)
+        # lane-0 (sdf) extraction as a masked lane-reduce, which maps to
+        # a native cross-lane reduction instead of a squeeze relayout
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) == 0
+        return jnp.sum(jnp.where(lane0, pre3, 0.0), axis=-1)
+
+    return q_sdf
+
+
+def _cumsum_lanes(x, strict: bool):
+    """Chunked cumulative sum along lanes via [<=128, <=128] triangular
+    matmuls with a running carry — bounded constants for any row width
+    (a full [L, L] triangular constant would not fit VMEM at L ~ 3k)."""
+    T, L = x.shape
+    BL = 128
+    outs = []
+    carry = jnp.zeros((T, 1), jnp.float32)
+    for s in range(0, L, BL):
+        blk = x[:, s:min(s + BL, L)]
+        w = blk.shape[1]
+        i = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        M = ((i < j) if strict else (i <= j)).astype(jnp.float32)
+        outs.append(jnp.dot(blk, M, preferred_element_type=jnp.float32)
+                    + carry)
+        carry = carry + jnp.sum(blk, axis=-1, keepdims=True)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def invert_cdf_counting(bins, cdf, u, eps: float = 1e-5):
+    """ops.sampling._invert_cdf with comparison-count search + one-hot
+    gathers (no gather primitive inside a kernel). bins/cdf [T, S], u [T, n].
+    """
+    T, S = bins.shape
+    n = u.shape[1]
+    inds = jnp.sum((cdf[:, None, :] < u[:, :, None]).astype(jnp.int32),
+                   axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, S - 1)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (T, n, S), 2)
+    ohb = bidx == below[:, :, None]
+    oha = bidx == above[:, :, None]
+    cdf3 = cdf[:, None, :]
+    bins3 = bins[:, None, :]
+    cdf_b = jnp.sum(jnp.where(ohb, cdf3, 0.0), axis=-1)
+    cdf_a = jnp.sum(jnp.where(oha, cdf3, 0.0), axis=-1)
+    bins_b = jnp.sum(jnp.where(ohb, bins3, 0.0), axis=-1)
+    bins_a = jnp.sum(jnp.where(oha, bins3, 0.0), axis=-1)
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+
+
+def merge_sorted_counting(d_a, d_b, extras_a=(), extras_b=(),
+                          lane_chunk: int = 128):
+    """Stable sorted merge (a before b at ties) via counting positions and
+    lane-chunked one-hot scatters — the in-kernel replacement for
+    concat+argsort+gather. d_a [T, B] and d_b [T, n] each sorted; extras ride
+    along. Peak temporary is [T, B, lane_chunk] regardless of output width.
+    """
+    T, B = d_a.shape
+    n = d_b.shape[1]
+    S2 = B + n
+    pos_a = (jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
+             + jnp.sum((d_b[:, None, :] < d_a[:, :, None]).astype(jnp.int32),
+                       axis=-1))
+    pos_b = (jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
+             + jnp.sum((d_a[:, None, :] <= d_b[:, :, None]).astype(jnp.int32),
+                       axis=-1))
+    vals_a = (d_a,) + tuple(extras_a)
+    vals_b = (d_b,) + tuple(extras_b)
+    out_blocks = [[] for _ in vals_a]
+    for s0 in range(0, S2, lane_chunk):
+        w = min(lane_chunk, S2 - s0)
+        sA = jax.lax.broadcasted_iota(jnp.int32, (T, B, w), 2) + s0
+        sB = jax.lax.broadcasted_iota(jnp.int32, (T, n, w), 2) + s0
+        ohA = pos_a[:, :, None] == sA
+        ohB = pos_b[:, :, None] == sB
+        for oi, (va, vb) in enumerate(zip(vals_a, vals_b)):
+            blk = (jnp.sum(jnp.where(ohA, va[:, :, None], 0.0), axis=1)
+                   + jnp.sum(jnp.where(ohB, vb[:, :, None], 0.0), axis=1))
+            out_blocks[oi].append(blk)
+    merged = [b[0] if len(b) == 1 else jnp.concatenate(b, axis=-1)
+              for b in out_blocks]
+    return merged[0] if not extras_a else tuple(merged)
+
+
 def _make_upsample_kernel(D: int, skips: tuple, use_siren: bool,
                           n_iters: int, n_per_iter: int):
     def kernel(rec_ref, dc_ref, u_ref, F_ref, *refs):
         out_ref = refs[-1]
         wb = [r[:] for r in refs[:-1]]
-        rec = rec_ref[:]                      # [T, 128]: o in 0:3, d in 3:6
-        F = F_ref[:]                          # [8, 128]
-        A = (rec[:, 0:1] * F[0:1] + rec[:, 1:2] * F[1:2]
-             + rec[:, 2:3] * F[2:3] + F[3:4])          # [T, 128] o-phase+shift
-        G = (rec[:, 3:4] * F[0:1] + rec[:, 4:5] * F[1:2]
-             + rec[:, 5:6] * F[2:3])                    # [T, 128] d-phase
-        idmask = F[4:5] > 0.5                           # [1, 128]
-
-        def q_sdf(dv):                        # [T, B] depths -> [T, B] sdf
-            T, B = dv.shape
-            ph = A[:, None, :] + dv[:, :, None] * G[:, None, :]
-            emb = jnp.where(idmask[None], ph, jnp.sin(ph))
-            pre = apply_layer_chain(emb.reshape(T * B, 128), wb,
-                                    D, skips, use_siren)
-            pre3 = pre.reshape(T, B, 128)
-            # lane-0 (sdf) extraction as a masked lane-reduce, which maps to
-            # a native cross-lane reduction instead of a squeeze relayout
-            lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) == 0
-            return jnp.sum(jnp.where(lane0, pre3, 0.0), axis=-1)
+        q_sdf = make_point_query(rec_ref[:], F_ref[:], wb, D, skips,
+                                 use_siren)
 
         _d = dc_ref[:]                        # [T, Bc]
         _sdf = q_sdf(_d)
-        T = _d.shape[0]
         for i in range(n_iters):
             B = _d.shape[1]
             prev_sdf, next_sdf = _sdf[:, :-1], _sdf[:, 1:]
@@ -152,41 +240,11 @@ def _make_upsample_kernel(D: int, skips: tuple, use_siren: bool,
                           preferred_element_type=jnp.float32)  # [T, B], cdf[:,0]=0
             n = n_per_iter
             u = u_ref[:, i * n:(i + 1) * n]                    # [T, n]
-            inds = jnp.sum(
-                (cdf[:, None, :] < u[:, :, None]).astype(jnp.int32),
-                axis=-1)                                        # [T, n]
-            below = jnp.maximum(inds - 1, 0)
-            above = jnp.minimum(inds, B - 1)
-            bidx = jax.lax.broadcasted_iota(jnp.int32, (T, n, B), 2)
-            ohb = bidx == below[:, :, None]
-            oha = bidx == above[:, :, None]
-            cdf3 = cdf[:, None, :]
-            bins3 = _d[:, None, :]
-            cdf_b = jnp.sum(jnp.where(ohb, cdf3, 0.0), axis=-1)
-            cdf_a = jnp.sum(jnp.where(oha, cdf3, 0.0), axis=-1)
-            bins_b = jnp.sum(jnp.where(ohb, bins3, 0.0), axis=-1)
-            bins_a = jnp.sum(jnp.where(oha, bins3, 0.0), axis=-1)
-            denom = cdf_a - cdf_b
-            denom = jnp.where(denom < 1e-5, 1.0, denom)
-            d_fine = bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+            d_fine = invert_cdf_counting(_d, cdf, u)
             sdf_fine = q_sdf(d_fine)
-            # stable merge (old before new at ties), positions by counting
-            pos_a = (jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
-                     + jnp.sum((d_fine[:, None, :] < _d[:, :, None])
-                               .astype(jnp.int32), axis=-1))
-            pos_b = (jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
-                     + jnp.sum((_d[:, None, :] <= d_fine[:, :, None])
-                               .astype(jnp.int32), axis=-1))
-            S = B + n
-            ohA = (pos_a[:, :, None]
-                   == jax.lax.broadcasted_iota(jnp.int32, (T, B, S), 2))
-            ohB = (pos_b[:, :, None]
-                   == jax.lax.broadcasted_iota(jnp.int32, (T, n, S), 2))
-            _d = (jnp.sum(jnp.where(ohA, _d[:, :, None], 0.0), axis=1)
-                  + jnp.sum(jnp.where(ohB, d_fine[:, :, None], 0.0), axis=1))
-            _sdf = (jnp.sum(jnp.where(ohA, _sdf[:, :, None], 0.0), axis=1)
-                    + jnp.sum(jnp.where(ohB, sdf_fine[:, :, None], 0.0),
-                              axis=1))
+            _d, _sdf = merge_sorted_counting(_d, d_fine,
+                                             extras_a=(_sdf,),
+                                             extras_b=(sdf_fine,))
         out_ref[:] = _d
 
     return kernel

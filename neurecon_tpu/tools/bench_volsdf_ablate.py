@@ -36,14 +36,26 @@ def main():
     rb = {"rays_o": rays_o, "rays_d": rays_d,
           "target_rgb": jnp.ones((N, 3)) * 0.5}
 
+    import os
+
     rk = dict(kw)
     rk.update({"H": 100, "W": 100})
-    ray_loss = make_ray_loss_fn(model, args, rk)
     opt = make_optimizer(args, params)
     state = init_train_state(params, opt)
-    step = make_train_step(ray_loss, opt, jit=False)
-    scan_time(lambda st, k: step(st, rb, k)[0], state, K=10,
-              name="VolSDF full train step")
+    for env, name in (("0", "VolSDF full train step"),
+                      ("1", "VolSDF full train step (fused fine_sample)")):
+        os.environ["NEURECON_FUSED_FINESAMPLE"] = env
+        try:
+            ray_loss = make_ray_loss_fn(model, args, rk)
+            step = make_train_step(ray_loss, opt, jit=False)
+            scan_time(lambda st, k: step(st, rb, k)[0], state, K=10,
+                      name=name)
+        except Exception as e:
+            print(f"# {name} failed: {str(e).splitlines()[0][:140]}",
+                  flush=True)
+        finally:
+            os.environ["NEURECON_FUSED_FINESAMPLE"] = "0"
+    ray_loss = make_ray_loss_fn(model, args, rk)
 
     pipe = make_pipeline_fns(model, args, rk)
     sample_kwargs = {k: v for k, v in rk.items()
@@ -54,6 +66,17 @@ def main():
             model, params, rays_o, rays_d, k, **sample_kwargs)
         return c + jnp.sum(fine) + jnp.sum(beta_map)
     scan_time(sampler_only, jnp.zeros(()), K=20, name="fine_sample alone")
+
+    for env in ("1",):
+        os.environ["NEURECON_FUSED_FINESAMPLE"] = env
+        try:
+            scan_time(sampler_only, jnp.zeros(()), K=20,
+                      name="fine_sample alone (megakernel)")
+        except Exception as e:
+            print(f"# fused fine_sample failed: "
+                  f"{str(e).splitlines()[0][:140]}", flush=True)
+        finally:
+            os.environ["NEURECON_FUSED_FINESAMPLE"] = "0"
 
     def fwd_only(c, k):
         total, _ = ray_loss(params, rb, k, 0)
