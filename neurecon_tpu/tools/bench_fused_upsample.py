@@ -98,6 +98,38 @@ def main():
         finally:
             os.environ["NEURECON_FUSED_UPSAMPLE"] = "0"
 
+    # --- 1b. does the megakernel survive lax.map? (the XLA upsampler is
+    # miscompiled under lax.map on TPU — docs/methods.md; if the Pallas
+    # form maps cleanly, eval renders can drop the unrolled workaround) ---
+    try:
+        from neurecon_tpu.ops.fused_upsample import fused_neus_upsample
+        sgp0 = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+        us0 = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 16), (N, 64))
+
+        def fused_direct(o, d, dc, u):
+            return fused_neus_upsample(
+                model.implicit_surface, sgp0["implicit_surface"], o, d, dc,
+                u, n_iters=4, n_per_iter=16, interpret=False)
+
+        direct = np.asarray(jax.jit(fused_direct)(
+            rays_o, rays_d, d_coarse, us0))
+
+        @jax.jit
+        def mapped(o, d, dc, u):
+            n_blk, blk = 4, N // 4
+            xs = tuple(x.reshape((n_blk, blk) + x.shape[1:])
+                       for x in (o, d, dc, u))
+            out = jax.lax.map(lambda t: fused_direct(*t), xs)
+            return out.reshape((N,) + out.shape[2:])
+
+        mp = np.asarray(mapped(rays_o, rays_d, d_coarse, us0))
+        dd = np.abs(direct - mp)
+        print(f"megakernel map-vs-direct: max {dd.max():.3e} "
+              f"frac>1e-3 {(dd > 1e-3).mean():.4f}", flush=True)
+    except Exception as e:
+        print(f"# lax.map check failed: {str(e).splitlines()[0][:140]}",
+              flush=True)
+
     # --- 2b. megakernel tile-size sweep (direct call, fixed uniforms) ---
     from neurecon_tpu.ops.fused_upsample import fused_neus_upsample
     sgp = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
