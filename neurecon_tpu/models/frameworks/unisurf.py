@@ -26,6 +26,24 @@ import numpy as np
 
 from neurecon_tpu.models.base import ImplicitSurface, RadianceNet
 from neurecon_tpu.models.ray_casting import root_finding_surface_points
+from neurecon_tpu.ops.fused_root_find import (fused_root_find,
+                                              fused_root_find_enabled)
+
+
+def _root_find_dispatch(model, sg_params, rays_o, rays_d, *, near, far,
+                        N_steps, method, logit_tau, fill_inf):
+    """root_finding_surface_points, or its Pallas megakernel form when the
+    gate is on (ops/fused_root_find.py). Deterministic, so the two paths
+    agree elementwise."""
+    if method == "secant" and fused_root_find_enabled():
+        return fused_root_find(
+            model.implicit_surface, sg_params["implicit_surface"],
+            rays_o, rays_d, near, far, n_steps=N_steps,
+            logit_tau=logit_tau, fill_inf=fill_inf)
+    return root_finding_surface_points(
+        lambda x: model.forward_surface(sg_params, x), rays_o, rays_d,
+        near=near, far=far, N_steps=N_steps, method=method,
+        logit_tau=logit_tau, fill_inf=fill_inf)
 from neurecon_tpu.ops import near_far_from_sphere
 
 
@@ -123,10 +141,9 @@ def compute_ray_samples(model: UNISURF, params, rays_o, rays_d, key,
     rays_o, rays_d, near, far = _prepare_rays(
         rays_o, rays_d, radius_of_interest, near_bypass, far_bypass)
     sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
-    return root_finding_surface_points(
-        lambda x: model.forward_surface(sg_params, x),
-        rays_o, rays_d, near=near, far=far, N_steps=N_steps, method=method,
-        logit_tau=logit_tau, fill_inf=False)
+    return _root_find_dispatch(
+        model, sg_params, rays_o, rays_d, near=near, far=far,
+        N_steps=N_steps, method=method, logit_tau=logit_tau, fill_inf=False)
 
 
 def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
@@ -173,10 +190,10 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
             surface_override[3].reshape(N))
     else:
         sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
-        d_pred_out, pt_pred, mask, mask_sign_change = root_finding_surface_points(
-            lambda x: model.forward_surface(sg_params, x),
-            rays_o, rays_d, near=near, far=far, N_steps=N_steps, method=method,
-            logit_tau=logit_tau, fill_inf=False)
+        d_pred_out, pt_pred, mask, mask_sign_change = _root_find_dispatch(
+            model, sg_params, rays_o, rays_d, near=near, far=far,
+            N_steps=N_steps, method=method, logit_tau=logit_tau,
+            fill_inf=False)
 
     d_pred_out = jnp.clip(d_pred_out, near, far)
     d_upper = jnp.minimum(d_pred_out + interval, far)
