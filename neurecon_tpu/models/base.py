@@ -263,7 +263,17 @@ class ImplicitSurface:
         The inner grad runs on a flat [M, C] input so the whole autodiff graph
         is rank-2 (degenerate middle dims crash this environment's TPU
         compiler); outputs are reshaped back to the caller's prefix.
+
+        NEURECON_FUSED_NABLAS=1 (eval tools only): route through the fused
+        forward+input-gradient Pallas kernel — one VMEM pass instead of the
+        jax.grad reverse sweep with HBM-resident residuals. The kernel has
+        no VJP, so a differentiated caller (training) errors loudly rather
+        than silently misbehaving; the gate is off by default.
         """
+        from neurecon_tpu.ops.fused_nablas import (fused_forward_with_nablas,
+                                                   fused_nablas_enabled)
+        if fused_nablas_enabled() and self.W_geo_feat > 0:
+            return fused_forward_with_nablas(self, params, x)
         prefix = x.shape[:-1]
         x_flat = x.reshape(-1, x.shape[-1])
 

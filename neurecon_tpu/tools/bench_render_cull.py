@@ -29,8 +29,9 @@ def main():
         .at[0, 2].set(W / 2).at[1, 2].set(H / 2)
     rays_o, rays_d = get_rays_at(jnp.arange(H * W), c2w, intr, H, W)
 
-    def run(name, fused, cull):
+    def run(name, fused, cull, nablas=False):
         os.environ["NEURECON_FUSED_UPSAMPLE"] = "1" if fused else "0"
+        os.environ["NEURECON_FUSED_NABLAS"] = "1" if nablas else "0"
         try:
             render = render_factory(detailed_output=False, calc_normal=True,
                                     **kw_train)
@@ -47,14 +48,16 @@ def main():
             return best, out["rgb"]
         finally:
             os.environ["NEURECON_FUSED_UPSAMPLE"] = "0"
+            os.environ["NEURECON_FUSED_NABLAS"] = "0"
 
     _, rgb_base = run("baseline (bench.py render row)", False, False)
-    variants = [("+ cull_miss", False, True),
-                ("+ fused upsampler", True, False),
-                ("+ cull + fused", True, True)]
-    for name, fused, cull in variants:
+    variants = [("+ cull_miss", False, True, False),
+                ("+ fused upsampler", True, False, False),
+                ("+ fused nablas", False, False, True),
+                ("+ cull + both kernels", True, True, True)]
+    for name, fused, cull, nablas in variants:
         try:
-            _, rgb = run(name, fused, cull)
+            _, rgb = run(name, fused, cull, nablas)
             mse = float(np.mean((rgb - rgb_base) ** 2))
             psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
             print(f"    vs baseline: {psnr:.1f} dB", flush=True)
