@@ -29,7 +29,7 @@ def main():
         .at[0, 2].set(W / 2).at[1, 2].set(H / 2)
     rays_o, rays_d = get_rays_at(jnp.arange(H * W), c2w, intr, H, W)
 
-    def run(name, fused, cull, nablas=False):
+    def run(name, fused, cull, nablas=False, micro=2250):
         os.environ["NEURECON_FUSED_UPSAMPLE"] = "1" if fused else "0"
         os.environ["NEURECON_FUSED_NABLAS"] = "1" if nablas else "0"
         try:
@@ -41,23 +41,25 @@ def main():
                 out = render_full_image(
                     render, params, rays_o, rays_d,
                     jax.random.PRNGKey(trial), rayschunk=18000,
-                    microchunk=2250, microchunk_unroll=True,
+                    microchunk=micro, microchunk_unroll=micro is not None,
                     cull_sphere_r=1.0 if cull else None)
                 best = min(best, time.perf_counter() - t0)
-            print(f"{name:34s} {best:7.2f} s/frame", flush=True)
+            print(f"{name:40s} {best:7.2f} s/frame", flush=True)
             return best, out["rgb"]
         finally:
             os.environ["NEURECON_FUSED_UPSAMPLE"] = "0"
             os.environ["NEURECON_FUSED_NABLAS"] = "0"
 
     _, rgb_base = run("baseline (bench.py render row)", False, False)
-    variants = [("+ cull_miss", False, True, False),
-                ("+ fused upsampler", True, False, False),
-                ("+ fused nablas", False, False, True),
-                ("+ cull + both kernels", True, True, True)]
-    for name, fused, cull, nablas in variants:
+    variants = [("+ cull_miss", False, True, False, 2250),
+                ("+ fused upsampler", True, False, False, 2250),
+                ("+ fused nablas", False, False, True, 2250),
+                ("+ fused nablas, no microchunk", False, False, True, None),
+                ("+ cull + both kernels, no microchunk",
+                 True, True, True, None)]
+    for name, fused, cull, nablas, micro in variants:
         try:
-            _, rgb = run(name, fused, cull, nablas)
+            _, rgb = run(name, fused, cull, nablas, micro)
             mse = float(np.mean((rgb - rgb_base) ** 2))
             psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
             print(f"    vs baseline: {psnr:.1f} dB", flush=True)
