@@ -469,3 +469,28 @@ class TestPipelinedBlock:
             np.testing.assert_allclose(float(metrics_p["losses"][k]),
                                        float(metrics_f["losses"][k]),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestShardedWithMegakernels:
+    def test_sharded_step_with_fused_upsampler(self, monkeypatch):
+        """The Pallas upsampler (interpret) must compose with the GSPMD
+        sharded step: same losses as the sharded XLA path (same key =>
+        same sample sets)."""
+        assert jax.device_count() >= 8
+        mesh = make_mesh(8)
+
+        def losses_with(gate):
+            monkeypatch.setenv("NEURECON_FUSED_UPSAMPLE", gate)
+            model, params, ray_loss, optimizer, rb = _setup(N_rays=64)
+            state = init_train_state(params, optimizer)
+            step = make_sharded_train_step(ray_loss, optimizer, mesh)
+            rbs = shard_rays(mesh, rb)
+            _, metrics = step(state, rbs, jax.random.PRNGKey(5))
+            return {k: float(v) for k, v in metrics["losses"].items()}
+
+        ref = losses_with("0")
+        got = losses_with("interpret")
+        for k in ref:
+            assert np.isfinite(got[k]), k
+            np.testing.assert_allclose(got[k], ref[k], rtol=5e-3,
+                                       atol=1e-4, err_msg=k)
