@@ -66,6 +66,10 @@ def main_function(args):
     import jax
     import jax.numpy as jnp
 
+    if args.get("fused_kernels", False):
+        from neurecon_tpu.utils.io import enable_fused_kernels
+        enable_fused_kernels()
+
     from neurecon_tpu.dataio import get_data
     from neurecon_tpu.models.frameworks import get_model
     from neurecon_tpu.ops import get_rays
@@ -140,6 +144,8 @@ if __name__ == "__main__":
         parser.add_argument("--rayschunk", type=int, default=4096)
         parser.add_argument("--microchunk", type=int, default=0,
                             help="rays per lax.map block inside one dispatch")
+        parser.add_argument("--fused_kernels", action="store_true",
+                            help="enable the eval-path Pallas megakernels")
         parser.add_argument("--n_eval", type=int, default=10**9)
         parser.add_argument("--edge_px", type=int, default=2,
                             help="silhouette band width for the masked-PSNR "

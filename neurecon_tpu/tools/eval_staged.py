@@ -136,11 +136,16 @@ if __name__ == "__main__":
         # backend (round-3 probe: 23 dB with lax.map vs 44 dB without, same
         # params/rays; CPU identical either way; docs/methods.md)
         parser.add_argument("--microchunk", type=int, default=0)
+        parser.add_argument("--fused_kernels", action="store_true",
+                            help="enable the eval-path Pallas megakernels")
         parser.add_argument("--mesh_N", type=int, default=256)
         parser.add_argument("--edge_px", type=int, default=2)
         parser.add_argument("--out", type=str, default=None)
 
     config, _ = parse_cli(extra_args_fn=extra)
+    if config.get("fused_kernels", False):
+        from neurecon_tpu.utils.io import enable_fused_kernels
+        enable_fused_kernels()
     evaluate_ckpts(config, config.ckpts, gt_mesh=config.get("gt_mesh"),
                    n_eval=config.get("n_eval"),
                    rayschunk=int(config.get("rayschunk", 8192)),

@@ -38,6 +38,8 @@ def main_function(args):
     from neurecon_tpu.ops import get_rays
     from neurecon_tpu.training import render_full_image
 
+    if args.get("fused_kernels", False):
+        io_util.enable_fused_kernels()
     io_util.cond_mkdir(args.get("outdir", "./out"))
 
     model, _trainer, render_kwargs_train, render_kwargs_test, render_factory = \
@@ -185,6 +187,8 @@ if __name__ == "__main__":
         parser.add_argument("--microchunk", type=int, default=0,
                             help="rays per lax.map block inside one dispatch "
                                  "(caps activation memory at large rayschunk)")
+        parser.add_argument("--fused_kernels", action="store_true",
+                            help="enable the eval-path Pallas megakernels")
         parser.add_argument("--cull_miss", action="store_true",
                             help="skip rays that miss the bounding sphere "
                                  "(host-side partition; volume mode only, "

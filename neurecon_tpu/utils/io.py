@@ -118,3 +118,13 @@ def save_video(imgs: np.ndarray, fname: str, as_gif: bool = False, fps: int = 24
         gif_path = os.path.splitext(fname)[0] + ".gif"
         imageio.mimwrite(gif_path, imgs, duration=1000.0 / fps, loop=0)
     return fname
+
+
+def enable_fused_kernels():
+    """--fused_kernels: opt all eval-path Pallas megakernels in (upsampler,
+    fine-sample, root-find, nablas). Eval tools only — the nablas kernel has
+    no VJP and must never be on during training."""
+    import os
+    for k in ("NEURECON_FUSED_UPSAMPLE", "NEURECON_FUSED_FINESAMPLE",
+              "NEURECON_FUSED_ROOTFIND", "NEURECON_FUSED_NABLAS"):
+        os.environ[k] = "1"
