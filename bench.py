@@ -240,6 +240,22 @@ def bench_render(cull: bool = False):
 
 
 def main():
+    # Fail fast and legibly when the device tunnel is down: backend init
+    # normally takes 60-200 s here, but during an outage jax.devices()
+    # hangs for hours before raising UNAVAILABLE (observed 2026-08-17).
+    import os
+    import signal
+
+    def _init_timeout(_sig, _frm):
+        print("# bench: TPU backend init exceeded 600 s — device tunnel "
+              "down/unreachable; no numbers can be measured", flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _init_timeout)
+    signal.alarm(600)
+    jax.devices()
+    signal.alarm(0)
+
     results = []
 
     for name, fn in (("VolSDF", bench_volsdf), ("UNISURF", bench_unisurf),
