@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fused_mlp import build_padded_weights, _round_up
-from .fused_upsample import (_cumsum_lanes, build_embed_const,
+from .fused_upsample import (_cumsum_lanes, _shift_lanes, build_embed_const,
                              invert_cdf_counting, make_point_query,
                              merge_sorted_counting)
 
@@ -81,7 +81,7 @@ def _invert_opacity(d, sdf, alpha_, beta_, u):
     delta = d[:, 1:] - d[:, :-1]
     r_t = _cumsum_lanes(sig[:, :-1] * delta, strict=True)   # [T, S-1]
     opacity = 1.0 - jnp.exp(-r_t)
-    cdf = jnp.concatenate([jnp.zeros_like(opacity[:, :1]), opacity], axis=-1)
+    cdf = _shift_lanes(opacity, out_width=opacity.shape[1] + 1)
     return invert_cdf_counting(d, cdf, u)
 
 
@@ -142,9 +142,8 @@ def _make_fine_sample_kernel(D: int, skips: tuple, use_siren: bool,
         for it in range(1, max_iter + 1):
             w5 = bounds + 1e-5
             pdf = w5 / jnp.sum(w5, axis=-1, keepdims=True)
-            cdf = jnp.concatenate(
-                [jnp.zeros_like(pdf[:, :1]),
-                 _cumsum_lanes(pdf, strict=False)], axis=-1)
+            cdf = _shift_lanes(_cumsum_lanes(pdf, strict=False),
+                               out_width=pdf.shape[1] + 1)
             upsampled = invert_cdf_counting(d_vals, cdf, u_up)[:, 1:-1]
             new_sdf = q_sdf(upsampled)
             d_vals, sdf = merge_sorted_counting(
@@ -222,7 +221,10 @@ def _build_call(config_key, tile: int, n0: int, n_up: int, max_iter: int,
     if not interpret:
         try:
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                # the default 16 MB scoped-vmem cap OOMs these kernels;
+                # v5e VMEM is 128 MB/core, leave room for double buffers
+                vmem_limit_bytes=96 * 1024 * 1024)
         except Exception:
             pass
 

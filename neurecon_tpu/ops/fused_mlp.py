@@ -158,7 +158,8 @@ def _build_fused_call(config_key, tile: int, C_pad: int, W_pad: int,
         # them per tile
         try:
             compiler_params = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=96 * 1024 * 1024)
         except Exception:
             compiler_params = None
 

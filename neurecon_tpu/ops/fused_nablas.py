@@ -195,7 +195,10 @@ def _build_call(config_key, tile: int, out_pad: int, W_pad: int,
     if not interpret:
         try:
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                # the default 16 MB scoped-vmem cap OOMs these kernels;
+                # v5e VMEM is 128 MB/core, leave room for double buffers
+                vmem_limit_bytes=96 * 1024 * 1024)
         except Exception:
             pass
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .fused_mlp import build_padded_weights, _round_up
-from .fused_upsample import build_embed_const, make_point_query
+from .fused_upsample import _shift_lanes, build_embed_const, make_point_query
 
 
 def fused_root_find_enabled() -> bool:
@@ -73,9 +73,13 @@ def _make_root_find_kernel(D: int, skips: tuple, use_siren: bool,
         val = q(d_prop)                                    # [T, S]
 
         mask0 = val[:, 0:1] > 0
-        sign_m = jnp.concatenate(
-            [jnp.sign(val[:, :-1] * val[:, 1:]),
-             jnp.ones((T, 1), jnp.float32)], axis=-1)
+        # sign(val_j * val_{j+1}) padded with 1 at the last lane, built
+        # from a shift-left matmul instead of the concat idiom (Mosaic
+        # rejects lane concats of offset-mismatched slices — see
+        # fused_upsample._shift_lanes)
+        val_next = _shift_lanes(val, shift=-1)             # [T, S], last=0
+        sign_m = jnp.where(lane == S - 1, 1.0,
+                           jnp.sign(val * val_next))
         cost = sign_m * (S - lane).astype(jnp.float32)     # S, S-1, ..., 1
         vmin = jnp.min(cost, axis=-1, keepdims=True)
         # first argmin: masked lane-min of the lane index
@@ -153,7 +157,10 @@ def _build_call(config_key, tile: int, n_steps: int, n_secant: int,
     if not interpret:
         try:
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                # the default 16 MB scoped-vmem cap OOMs these kernels;
+                # v5e VMEM is 128 MB/core, leave room for double buffers
+                vmem_limit_bytes=96 * 1024 * 1024)
         except Exception:
             pass
 

@@ -131,9 +131,43 @@ def _cumsum_lanes(x, strict: bool):
         i = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
         M = ((i < j) if strict else (i <= j)).astype(jnp.float32)
-        outs.append(jnp.dot(blk, M, preferred_element_type=jnp.float32)
+        outs.append(jnp.dot(blk, M, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
                     + carry)
         carry = carry + jnp.sum(blk, axis=-1, keepdims=True)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _shift_lanes(x, shift: int = 1, out_width: int | None = None):
+    """out[:, j] = x[:, j - shift] (zero where out of range), as lane-chunked
+    shift matmuls. Mosaic-safe replacement for the shift-by-concat idiom
+    (`concat([zeros[:, :1], x[:, :-1]])`), which real Mosaic rejects with
+    "result/input offset mismatch on non-concat dimension" — the width-1
+    and width-(W-1) slice operands carry incompatible vreg offsets. A matmul
+    result always has a canonical {0,0} layout, so per-128-lane-chunk shift
+    matmuls concat cleanly. `out_width=W+1` gives the prepend-zero form.
+    """
+    T, W = x.shape
+    OW = W if out_width is None else out_width
+    BL = 128
+    outs = []
+    for s0 in range(0, OW, BL):
+        w = min(BL, OW - s0)
+        lo = max(s0 - shift, 0) if shift >= 0 else s0 - shift
+        hi = min(s0 + w - shift, W)
+        lo = min(lo, W)
+        hi = max(hi, lo)
+        seg = x[:, lo:hi]
+        m = hi - lo
+        if m == 0:
+            outs.append(jnp.zeros((T, w), jnp.float32))
+            continue
+        ii = jax.lax.broadcasted_iota(jnp.int32, (m, w), 0) + lo
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m, w), 1) + s0
+        M = (jj == ii + shift).astype(jnp.float32)
+        outs.append(jnp.dot(seg.astype(jnp.float32), M,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
@@ -211,8 +245,7 @@ def _make_upsample_kernel(D: int, skips: tuple, use_siren: bool,
             prev_z, next_z = _d[:, :-1], _d[:, 1:]
             mid_sdf = 0.5 * (prev_sdf + next_sdf)
             dot_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
-            prev_dot = jnp.concatenate(
-                [jnp.zeros_like(dot_val[:, :1]), dot_val[:, :-1]], axis=-1)
+            prev_dot = _shift_lanes(dot_val)
             dot_val = jnp.clip(jnp.minimum(prev_dot, dot_val), -10.0, 0.0)
             dist = next_z - prev_z
             prev_esti = mid_sdf - dot_val * dist * 0.5
@@ -231,13 +264,15 @@ def _make_upsample_kernel(D: int, skips: tuple, use_siren: bool,
             lg = jnp.log(jnp.maximum(1.0 - alpha, 0.0) + 1e-10)
             csum = jnp.minimum(
                 jnp.dot(lg, _strict_lower(B - 1, B - 1),
-                        preferred_element_type=jnp.float32), 0.0)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST), 0.0)
             w = alpha * jnp.exp(csum)
             # sample_pdf (det path with caller-provided sorted u)
             w5 = w + 1e-5
             pdf = w5 / jnp.sum(w5, axis=-1, keepdims=True)
             cdf = jnp.dot(pdf, _strict_lower(B - 1, B),
-                          preferred_element_type=jnp.float32)  # [T, B], cdf[:,0]=0
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # [T, B], cdf[:,0]=0
             n = n_per_iter
             u = u_ref[:, i * n:(i + 1) * n]                    # [T, n]
             d_fine = invert_cdf_counting(_d, cdf, u)
@@ -281,7 +316,10 @@ def _build_call(config_key, tile: int, n_coarse: int, n_iters: int,
     if not interpret:
         try:
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                # the default 16 MB scoped-vmem cap OOMs these kernels;
+                # v5e VMEM is 128 MB/core, leave room for double buffers
+                vmem_limit_bytes=96 * 1024 * 1024)
         except Exception:
             pass
 

@@ -63,26 +63,47 @@ def main():
                   N_upsample_iters=4, N_nograd_samples=2048,
                   fixed_s_recp=1 / 64.0)
 
-    def d_all_env(env_val, perturb, key):
+    def d_all_env(env_val, perturb, key, dev=None):
         os.environ["NEURECON_FUSED_UPSAMPLE"] = env_val
         try:
             f = jax.jit(lambda p, k: neus_upsample(
                 model, p, rays_o, rays_d, d_coarse, k, perturb=perturb,
                 **ups_kw))
-            return np.asarray(f(params, key))
+            if dev is None:
+                return np.asarray(f(params, key))
+            with jax.default_device(dev):
+                return np.asarray(f(jax.device_put(params, dev),
+                                    jax.device_put(key, dev)))
         finally:
             os.environ["NEURECON_FUSED_UPSAMPLE"] = "0"
 
-    # --- 1. on-device correctness ---
+    # --- 1. on-device correctness, calibrated against the CPU-f32 truth ---
+    # A raw fused-vs-XLA elementwise diff is meaningless on-chip: the MXU's
+    # default-precision (bf16-input) MLP queries seed ~1e-3 SDF noise that
+    # the chaotic hierarchical resampler amplifies, and the TPU XLA path
+    # drifts from the CPU-f32 truth by exactly as much as the kernel does
+    # (measured 2026-08-18: frac>1e-4span 0.447 XLA-vs-CPU, 0.442
+    # fused-vs-CPU). The meaningful check: the fused kernel is as close to
+    # the CPU truth as the production XLA path itself.
+    cpu_dev = jax.devices("cpu")[0]
     for perturb in (False, True):
         key = jax.random.PRNGKey(42)
         ref = d_all_env("0", perturb, key)
         got = d_all_env("1", perturb, key)
-        dd = np.abs(ref - got)
+        refc = d_all_env("0", perturb, key, dev=cpu_dev)
         span = float(ref.max() - ref.min())
-        print(f"correctness perturb={perturb}: max {dd.max():.3e} "
-              f"frac>1e-4*span {(dd > 1e-4 * span).mean():.4f} "
-              f"nan {int(np.isnan(got).sum())} sorted "
+        fr = {}
+        for tag, a, b in (("fused-vs-xla", got, ref),
+                          ("xla-vs-cpu", ref, refc),
+                          ("fused-vs-cpu", got, refc)):
+            dd = np.abs(a - b)
+            fr[tag] = (dd > 1e-4 * span).mean()
+            print(f"correctness perturb={perturb} {tag:14s}: "
+                  f"max {dd.max():.3e} frac>1e-4*span {fr[tag]:.4f} "
+                  f"nan {int(np.isnan(a).sum())}", flush=True)
+        ok = fr["fused-vs-cpu"] <= fr["xla-vs-cpu"] + 0.05
+        print(f"correctness perturb={perturb}: fused as close to CPU truth "
+              f"as XLA path -> {'OK' if ok else 'FAIL'}; sorted "
               f"{bool((np.diff(got, axis=-1) >= -1e-6).all())}", flush=True)
 
     # --- 2. upsampler only ---
@@ -104,7 +125,9 @@ def main():
     try:
         from neurecon_tpu.ops.fused_upsample import fused_neus_upsample
         sgp0 = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
-        us0 = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 16), (N, 64))
+        # [N, n_iters*n_per_iter], each 16-wide round slice ascending
+        us0 = jnp.broadcast_to(jnp.tile(jnp.linspace(0.0, 1.0, 16), 4),
+                               (N, 64))
 
         def fused_direct(o, d, dc, u):
             return fused_neus_upsample(
@@ -122,7 +145,16 @@ def main():
             out = jax.lax.map(lambda t: fused_direct(*t), xs)
             return out.reshape((N,) + out.shape[2:])
 
-        mp = np.asarray(mapped(rays_o, rays_d, d_coarse, us0))
+        # the remote compile helper intermittently 500s on large programs
+        # (service degradation, see bench.py) — retry before giving up
+        for attempt in range(3):
+            try:
+                mp = np.asarray(mapped(rays_o, rays_d, d_coarse, us0))
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(20 * (attempt + 1))
         dd = np.abs(direct - mp)
         print(f"megakernel map-vs-direct: max {dd.max():.3e} "
               f"frac>1e-3 {(dd > 1e-3).mean():.4f}", flush=True)

@@ -5,10 +5,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neurecon_tpu.ops.fused_upsample import (_cumsum_lanes,
+from neurecon_tpu.ops.fused_upsample import (_cumsum_lanes, _shift_lanes,
                                              invert_cdf_counting,
                                              merge_sorted_counting)
 from neurecon_tpu.ops.sampling import sample_pdf
+
+
+class TestShiftLanes:
+    """_shift_lanes replaces the shift-by-concat idiom (real Mosaic rejects
+    lane concats of offset-mismatched slices)."""
+
+    def test_shift_right_same_width(self):
+        rng = np.random.RandomState(0)
+        for W in (5, 63, 127, 128, 129, 300):
+            x = jnp.asarray(rng.rand(4, W).astype(np.float32))
+            want = np.concatenate(
+                [np.zeros((4, 1), np.float32), np.asarray(x)[:, :-1]], -1)
+            np.testing.assert_allclose(np.asarray(_shift_lanes(x)), want,
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_prepend_zero_width_plus_one(self):
+        rng = np.random.RandomState(1)
+        for W in (7, 127, 128, 129, 257):
+            x = jnp.asarray(rng.rand(3, W).astype(np.float32))
+            got = np.asarray(_shift_lanes(x, out_width=W + 1))
+            want = np.concatenate(
+                [np.zeros((3, 1), np.float32), np.asarray(x)], -1)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_shift_left(self):
+        rng = np.random.RandomState(2)
+        for W in (6, 128, 256, 300):
+            x = jnp.asarray(rng.rand(2, W).astype(np.float32))
+            got = np.asarray(_shift_lanes(x, shift=-1))
+            want = np.concatenate(
+                [np.asarray(x)[:, 1:], np.zeros((2, 1), np.float32)], -1)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
 class TestCumsumLanes:
