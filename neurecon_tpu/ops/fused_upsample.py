@@ -171,25 +171,43 @@ def _shift_lanes(x, shift: int = 1, out_width: int | None = None):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
-def invert_cdf_counting(bins, cdf, u, eps: float = 1e-5):
+def invert_cdf_counting(bins, cdf, u, eps: float = 1e-5,
+                        lane_chunk: int = 128):
     """ops.sampling._invert_cdf with comparison-count search + one-hot
     gathers (no gather primitive inside a kernel). bins/cdf [T, S], u [T, n].
+
+    All reductions over S run in `lane_chunk`-wide pieces: the peak 3D
+    temporary is [T, n, lane_chunk] instead of [T, n, S]. At the VolSDF
+    megakernel's widths (n=130, S growing to 640) the unchunked form made
+    Mosaic's register allocator spill >160 MB of vregs to VMEM stack (the
+    per-chunk temporaries die fast, so chunked slots get reused).
     """
     T, S = bins.shape
     n = u.shape[1]
-    inds = jnp.sum((cdf[:, None, :] < u[:, :, None]).astype(jnp.int32),
-                   axis=-1)
+    inds = jnp.zeros((T, n), jnp.int32)
+    for s0 in range(0, S, lane_chunk):
+        c = cdf[:, s0:min(s0 + lane_chunk, S)]
+        inds = inds + jnp.sum(
+            (c[:, None, :] < u[:, :, None]).astype(jnp.int32), axis=-1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, S - 1)
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (T, n, S), 2)
-    ohb = bidx == below[:, :, None]
-    oha = bidx == above[:, :, None]
-    cdf3 = cdf[:, None, :]
-    bins3 = bins[:, None, :]
-    cdf_b = jnp.sum(jnp.where(ohb, cdf3, 0.0), axis=-1)
-    cdf_a = jnp.sum(jnp.where(oha, cdf3, 0.0), axis=-1)
-    bins_b = jnp.sum(jnp.where(ohb, bins3, 0.0), axis=-1)
-    bins_a = jnp.sum(jnp.where(oha, bins3, 0.0), axis=-1)
+    cdf_b = jnp.zeros((T, n), jnp.float32)
+    cdf_a = jnp.zeros((T, n), jnp.float32)
+    bins_b = jnp.zeros((T, n), jnp.float32)
+    bins_a = jnp.zeros((T, n), jnp.float32)
+    for s0 in range(0, S, lane_chunk):
+        w = min(lane_chunk, S - s0)
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (T, n, w), 2) + s0
+        ohb = bidx == below[:, :, None]
+        oha = bidx == above[:, :, None]
+        # slice BEFORE adding the axis: x[:, None, s0:s0+w] traces to a
+        # gather primitive, which Mosaic has no lowering for
+        cdf3 = cdf[:, s0:s0 + w][:, None, :]
+        bins3 = bins[:, s0:s0 + w][:, None, :]
+        cdf_b = cdf_b + jnp.sum(jnp.where(ohb, cdf3, 0.0), axis=-1)
+        cdf_a = cdf_a + jnp.sum(jnp.where(oha, cdf3, 0.0), axis=-1)
+        bins_b = bins_b + jnp.sum(jnp.where(ohb, bins3, 0.0), axis=-1)
+        bins_a = bins_a + jnp.sum(jnp.where(oha, bins3, 0.0), axis=-1)
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < eps, 1.0, denom)
     return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
@@ -205,24 +223,46 @@ def merge_sorted_counting(d_a, d_b, extras_a=(), extras_b=(),
     T, B = d_a.shape
     n = d_b.shape[1]
     S2 = B + n
+
+    # position counts, reduced in lane_chunk pieces over the other operand
+    # (peak temporary [T, lane_chunk, lane_chunk] — see invert_cdf_counting
+    # for why: unchunked [T, B, n] comparisons spill vregs at VolSDF widths)
+    def _count_lt(q, keys, strict):
+        cnt = jnp.zeros(q.shape, jnp.int32)
+        for k0 in range(0, keys.shape[1], lane_chunk):
+            kc = keys[:, k0:min(k0 + lane_chunk, keys.shape[1])]
+            cmp = (kc[:, None, :] < q[:, :, None] if strict
+                   else kc[:, None, :] <= q[:, :, None])
+            cnt = cnt + jnp.sum(cmp.astype(jnp.int32), axis=-1)
+        return cnt
+
     pos_a = (jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
-             + jnp.sum((d_b[:, None, :] < d_a[:, :, None]).astype(jnp.int32),
-                       axis=-1))
+             + _count_lt(d_a, d_b, strict=True))
     pos_b = (jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
-             + jnp.sum((d_a[:, None, :] <= d_b[:, :, None]).astype(jnp.int32),
-                       axis=-1))
+             + _count_lt(d_b, d_a, strict=False))
     vals_a = (d_a,) + tuple(extras_a)
     vals_b = (d_b,) + tuple(extras_b)
     out_blocks = [[] for _ in vals_a]
     for s0 in range(0, S2, lane_chunk):
         w = min(lane_chunk, S2 - s0)
-        sA = jax.lax.broadcasted_iota(jnp.int32, (T, B, w), 2) + s0
-        sB = jax.lax.broadcasted_iota(jnp.int32, (T, n, w), 2) + s0
-        ohA = pos_a[:, :, None] == sA
-        ohB = pos_b[:, :, None] == sB
-        for oi, (va, vb) in enumerate(zip(vals_a, vals_b)):
-            blk = (jnp.sum(jnp.where(ohA, va[:, :, None], 0.0), axis=1)
-                   + jnp.sum(jnp.where(ohB, vb[:, :, None], 0.0), axis=1))
+        blks = [jnp.zeros((T, w), jnp.float32) for _ in vals_a]
+        for b0 in range(0, B, lane_chunk):
+            bw = min(lane_chunk, B - b0)
+            sA = jax.lax.broadcasted_iota(jnp.int32, (T, bw, w), 2) + s0
+            ohA = pos_a[:, b0:b0 + bw][:, :, None] == sA
+            for oi, va in enumerate(vals_a):
+                blks[oi] = blks[oi] + jnp.sum(
+                    jnp.where(ohA, va[:, b0:b0 + bw][:, :, None], 0.0),
+                    axis=1)
+        for b0 in range(0, n, lane_chunk):
+            bw = min(lane_chunk, n - b0)
+            sB = jax.lax.broadcasted_iota(jnp.int32, (T, bw, w), 2) + s0
+            ohB = pos_b[:, b0:b0 + bw][:, :, None] == sB
+            for oi, vb in enumerate(vals_b):
+                blks[oi] = blks[oi] + jnp.sum(
+                    jnp.where(ohB, vb[:, b0:b0 + bw][:, :, None], 0.0),
+                    axis=1)
+        for oi, blk in enumerate(blks):
             out_blocks[oi].append(blk)
     merged = [b[0] if len(b) == 1 else jnp.concatenate(b, axis=-1)
               for b in out_blocks]
