@@ -494,3 +494,53 @@ class TestShardedWithMegakernels:
             assert np.isfinite(got[k]), k
             np.testing.assert_allclose(got[k], ref[k], rtol=5e-3,
                                        atol=1e-4, err_msg=k)
+
+    def test_sharded_step_with_fused_fine_sample(self, monkeypatch):
+        """The VolSDF fused fine-sample kernel family (interpret) must
+        compose with the GSPMD sharded step: same losses as the sharded
+        XLA path (elementwise-equal sampler => equal sample sets)."""
+        from neurecon_tpu.models.frameworks.volsdf import (
+            make_ray_loss_fn as volsdf_loss)
+        from tests.test_volsdf import tiny_model as volsdf_tiny
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(8)
+        H, W, N_rays = 40, 48, 64
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "VolSDF", "obj_bounding_radius": 3.0},
+            "training": {"w_eikonal": 0.1, "lr": 5e-4, "num_iters": 100,
+                         "speed_factor": 10.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        rk = {"H": H, "W": W, "near": 0.0, "far": 6.0, "N_samples": 24,
+              "N_importance": 16, "max_upsample_steps": 2,
+              "fine_sample_mul": 1, "obj_bounding_radius": 3.0,
+              "perturb": True}
+
+        def losses_with(gate):
+            monkeypatch.setenv("NEURECON_FUSED_FINESAMPLE", gate)
+            model = volsdf_tiny()
+            params = model.init(jax.random.PRNGKey(0))
+            ray_loss = volsdf_loss(model, args, rk)
+            optimizer = make_optimizer(args, params)
+            rays_o = jnp.zeros((N_rays, 3)).at[:, 2].set(-3.0)
+            rays_d = jnp.concatenate(
+                [jax.random.normal(jax.random.PRNGKey(1), (N_rays, 2)) * 0.1,
+                 jnp.ones((N_rays, 1))], -1)
+            rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            rb = {"rays_o": rays_o[None], "rays_d": rays_d[None],
+                  "target_rgb": jnp.ones((1, N_rays, 3)) * 0.5}
+            state = init_train_state(params, optimizer)
+            step = make_sharded_train_step(ray_loss, optimizer, mesh)
+            rbs = shard_rays(mesh, rb)
+            _, metrics = step(state, rbs, jax.random.PRNGKey(5))
+            return {k: float(v) for k, v in metrics["losses"].items()}
+
+        ref = losses_with("0")
+        got = losses_with("interpret")
+        for k in ref:
+            assert np.isfinite(got[k]), k
+            np.testing.assert_allclose(got[k], ref[k], rtol=5e-3,
+                                       atol=1e-4, err_msg=k)
