@@ -141,6 +141,14 @@ def create_args_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _inject_optional_defaults(config: "ConfigDict") -> None:
+    """Curated optional keys: absent from most yamls, but CLI-overridable
+    (update_config is strict by design — unknown CLI keys are typos — so
+    opt-in switches must pre-exist in the dict)."""
+    if "training" in config:
+        config.training.setdefault("fused_samplers", False)
+
+
 def load_config(args, unknown: List[str],
                 base_config_path: Optional[str] = None) -> ConfigDict:
     """Overwrite sequence: CLI params > args.config > default config yaml."""
@@ -151,10 +159,12 @@ def load_config(args, unknown: List[str],
         assert "--expname" not in unknown, \
             "--expname together with --resume_dir leads to unexpected behavior."
         config = load_yaml(os.path.join(args.resume_dir, "config.yaml"), default_path=None)
+        _inject_optional_defaults(config)
         config = update_config(config, unknown)
         config.training["exp_dir"] = args.resume_dir
     else:
         config = load_yaml(args.config, default_path=base_config_path)
+        _inject_optional_defaults(config)
         config = update_config(config, unknown)
         if "exp_dir" not in config.training:
             config.training["exp_dir"] = os.path.join(

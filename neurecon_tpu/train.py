@@ -57,6 +57,14 @@ def main_function(args):
     mesh_dir = os.path.join(exp_dir, "meshes")
     io_util.cond_mkdir(exp_dir)
 
+    if args.training.get("fused_samplers", False):
+        # Opt the TRAIN-SAFE sampler megakernels in (the samplers are
+        # gradient-free by construction; the nablas kernel has no VJP and
+        # stays eval-only). Measured on v5e: NeuS step -9.6%, VolSDF step
+        # 2.30x (docs/performance.md); UNISURF's is neutral and stays off.
+        for k in ("NEURECON_FUSED_UPSAMPLE", "NEURECON_FUSED_FINESAMPLE"):
+            os.environ[k] = "1"
+
     logger = Logger(log_dir=exp_dir,
                     img_dir=os.path.join(exp_dir, "imgs"),
                     monitoring=args.training.get("monitoring", "tensorboard"),
