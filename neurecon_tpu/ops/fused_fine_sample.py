@@ -437,6 +437,7 @@ def fused_fine_sample(surface, params, rays_o, rays_d, d_init, far,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    tile = int(os.environ.get("NEURECON_FUSED_FINESAMPLE_TILE", tile))
     N, n0 = d_init.shape
     rec = jnp.concatenate(
         [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),

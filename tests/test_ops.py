@@ -230,6 +230,25 @@ class TestConfig:
                           "--expname", "y"])
         assert c.data.N_rays == 1024 and c.data.flag is False and c.expname == "y"
 
+    def test_optional_defaults_cli_overridable(self, tmp_path):
+        """training.fused_samplers is absent from the yamls but injected
+        before the strict CLI merge, so --training:fused_samplers works."""
+        import argparse
+
+        from neurecon_tpu.config import (ConfigDict, load_config,
+                                         save_config)
+        c = ConfigDict({"expname": "t",
+                        "training": {"lr": 5e-4,
+                                     "log_root_dir": str(tmp_path)},
+                        "model": {"framework": "NeuS"}})
+        p = str(tmp_path / "c.yaml")
+        save_config(c, p)
+        ns = argparse.Namespace(config=p, resume_dir=None)
+        cfg = load_config(ns, ["--training:fused_samplers", "true"])
+        assert cfg.training.fused_samplers is True
+        cfg2 = load_config(argparse.Namespace(config=p, resume_dir=None), [])
+        assert cfg2.training.fused_samplers is False
+
     def test_yaml_roundtrip(self, tmp_path):
         from neurecon_tpu.config import ConfigDict, load_yaml, save_config
         c = ConfigDict({"expname": "t", "training": {"lr": 5e-4, "ckpt_file": "x",
