@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 BASELINE_RAYS_PER_SEC = 1536.0   # 512 rays/step * 3 it/s (reference README)
 BASELINE_RENDER_S_PER_FRAME = 28.0  # 28 min / 60 frames @360x400 (ref usage.md)
+BASELINE_SURFACE_S_PER_FRAME = 0.3  # 18 s / 60 frames, sphere tracing (ditto)
 
 
 def _emit(metric, value, unit, vs_baseline):
@@ -267,6 +268,38 @@ def bench_render(cull: bool = False):
     return best
 
 
+def bench_render_surface():
+    """Surface-render one 360x400 NeuS frame (sphere tracing + single
+    radiance query + normals) — the reference's '~100x faster' eval path
+    (18 s / 60 frames on a 3090, ref docs/usage.md:255,270-275)."""
+    from neurecon_tpu.models.frameworks.neus import get_model
+    from neurecon_tpu.models.ray_casting import make_surface_render_fn
+    from neurecon_tpu.ops import get_rays_at
+    from __graft_entry__ import _flagship_args
+
+    args, _, _ = _flagship_args(N_rays=512)
+    model, _, _, _, _ = get_model(args)
+    params = model.init(jax.random.PRNGKey(0))
+    render = make_surface_render_fn(
+        model, ray_casting_algo="sphere_tracing",
+        ray_casting_cfgs={"near": 0.0, "far": 1.2 * (3.0 + 1.0)})
+
+    H, W = 360, 400
+    c2w = jnp.eye(4).at[2, 3].set(-3.0)
+    intr = jnp.eye(4).at[0, 0].set(500.0).at[1, 1].set(500.0) \
+        .at[0, 2].set(W / 2).at[1, 2].set(H / 2)
+    rays_o, rays_d = get_rays_at(jnp.arange(H * W), c2w, intr, H, W)
+    jrender = jax.jit(lambda p, o, d: render(p, o, d, jax.random.PRNGKey(0)))
+
+    best = float("inf")
+    for trial in range(3):  # trial 0 pays the compile; best-of discards it
+        t0 = time.perf_counter()
+        rgb, depth, extras = jrender(params, rays_o, rays_d)
+        _ = float(jnp.sum(depth))  # host fetch: the only reliable sync
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     # Fail fast and legibly when the device tunnel is down: backend init
     # normally takes 60-200 s here, but during an outage jax.devices()
@@ -318,6 +351,15 @@ def main():
     except Exception as e:
         print(f"# bench[render+cull] failed: {str(e).splitlines()[0][:120]}",
               flush=True)
+
+    try:
+        spf = bench_render_surface()
+        results.append((
+            "NeuS full-frame surface render 360x400 (sphere tracing)",
+            spf, "sec/frame", BASELINE_SURFACE_S_PER_FRAME / spf))
+    except Exception as e:
+        print(f"# bench[render-surface] failed: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
 
     # flagship last (and mandatory: a failure here fails the bench)
     rps = bench_neus_flagship()
