@@ -495,6 +495,64 @@ class TestShardedWithMegakernels:
             np.testing.assert_allclose(got[k], ref[k], rtol=5e-3,
                                        atol=1e-4, err_msg=k)
 
+    def test_pipelined_block_with_fused_upsampler(self, monkeypatch):
+        """The two production fast paths together (training.fused_samplers +
+        training.overlap_sampler): the fused upsampler inside the software-
+        pipelined sharded block. Frozen params make the pipelined block
+        deterministic, so fused(interpret) must match the XLA pipelined
+        block's losses."""
+        import optax
+
+        from neurecon_tpu.dataio.synthetic import make_synthetic_scene
+        from neurecon_tpu.models.frameworks.neus import (make_pipeline_fns,
+                                                         make_ray_loss_fn)
+        from neurecon_tpu.parallel.sharding import make_sharded_train_block
+        from tests.test_neus import tiny_model
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(8)
+        H, W, N_rays = 40, 48, 64
+        scene = make_synthetic_scene(n_images=2, H=H, W=W)
+        args = ConfigDict({
+            "data": {"N_rays": N_rays},
+            "model": {"framework": "NeuS"},
+            "training": {"with_mask": True, "w_mask": 1.0, "w_eikonal": 0.1,
+                         "lr": 5e-4, "num_iters": 100, "speed_factor": 10.0,
+                         "scheduler": {"type": "warmupcosine",
+                                       "warmup_steps": 10}},
+        })
+        rk = {"H": H, "W": W, "N_samples": 16, "N_importance": 16,
+              "perturb": True}
+        data = {k: jnp.asarray(scene[k])
+                for k in ("c2w", "intrinsics", "rgb", "object_mask")}
+
+        def sample_fn(d, idx, key):
+            sliced = {k: jax.lax.dynamic_slice_in_dim(v, idx, 1, axis=0)
+                      for k, v in d.items()}
+            return sample_ray_batch(key, sliced, H, W, N_rays)
+
+        idxs = jnp.asarray([0, 1, 0])
+
+        def losses_with(gate):
+            monkeypatch.setenv("NEURECON_FUSED_UPSAMPLE", gate)
+            model = tiny_model()
+            params = model.init(jax.random.PRNGKey(0))
+            ray_loss = make_ray_loss_fn(model, args, rk)
+            pipe = make_pipeline_fns(model, args, rk)
+            optimizer = optax.sgd(0.0)
+            block = make_sharded_train_block(ray_loss, optimizer, mesh,
+                                             sample_fn, pipeline_fns=pipe)
+            _, metrics = block(init_train_state(params, optimizer), data,
+                               idxs, jax.random.PRNGKey(11))
+            return {k: float(v) for k, v in metrics["losses"].items()}
+
+        ref = losses_with("0")
+        got = losses_with("interpret")
+        for k in ref:
+            assert np.isfinite(got[k]), k
+            np.testing.assert_allclose(got[k], ref[k], rtol=5e-3,
+                                       atol=1e-4, err_msg=k)
+
     def test_sharded_step_with_fused_fine_sample(self, monkeypatch):
         """The VolSDF fused fine-sample kernel family (interpret) must
         compose with the GSPMD sharded step: same losses as the sharded
