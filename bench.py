@@ -102,14 +102,23 @@ def _measure_train(args, H, W, label):
     return N_rays * K / best_dt
 
 
-def bench_neus_flagship():
+def bench_neus_xla():
     """DTU-scan65-like geometry: full-size NeuS (D=8/W=256 SDF + D=4/W=256
     radiance), 512 train rays/step, 64 coarse + 4x16 importance samples via
     official_solution upsampling, eikonal (grad-of-grad) loss — the exact
-    per-step workload of configs/neus.yaml."""
+    per-step workload of configs/neus.yaml, with the plain XLA upsampler
+    (training.fused_samplers: false)."""
     from __graft_entry__ import _flagship_args
     args, _, _ = _flagship_args(N_rays=512)
     return _measure_train(args, 1200, 1600, "NeuS")
+
+
+def bench_neus_flagship():
+    """The configs/neus.yaml production path: same workload as
+    bench_neus_xla but with training.fused_samplers (the default the config
+    ships) — the hierarchical upsampler runs as the Pallas megakernel
+    (ops/fused_upsample.py), 2.14x the XLA loop on v5e."""
+    return _with_env("NEURECON_FUSED_UPSAMPLE", bench_neus_xla)()
 
 
 def bench_neus_pipelined():
@@ -215,11 +224,11 @@ def bench_volsdf_fused():
     return _with_env("NEURECON_FUSED_FINESAMPLE", bench_volsdf)()
 
 
-def bench_neus_fused():
-    """The flagship NeuS workload with the fused hierarchical-upsampler
-    megakernel (ops/fused_upsample.py, NEURECON_FUSED_UPSAMPLE=1):
-    2.14x the XLA upsampler loop, -9.6% full step (v5e, 2026-08-18)."""
-    return _with_env("NEURECON_FUSED_UPSAMPLE", bench_neus_flagship)()
+def bench_neus_pipelined_fused():
+    """overlap_sampler AND the fused upsampler megakernel together — the
+    no-grad megakernel sampler of step i+1 overlaps step i's backward
+    (composition tested: tests/test_fused_upsample.py)."""
+    return _with_env("NEURECON_FUSED_UPSAMPLE", bench_neus_pipelined)()
 
 
 def bench_unisurf():
@@ -322,8 +331,9 @@ def main():
     for name, fn in (("VolSDF", bench_volsdf),
                      ("VolSDF-fused", bench_volsdf_fused),
                      ("UNISURF", bench_unisurf),
-                     ("NeuS-fused", bench_neus_fused),
-                     ("NeuS-pipelined", bench_neus_pipelined)):
+                     ("NeuS-XLA", bench_neus_xla),
+                     ("NeuS-pipelined", bench_neus_pipelined),
+                     ("NeuS-pipelined-fused", bench_neus_pipelined_fused)):
         try:
             rps = fn()
             results.append((
@@ -361,10 +371,15 @@ def main():
         print(f"# bench[render-surface] failed: "
               f"{str(e).splitlines()[0][:120]}", flush=True)
 
-    # flagship last (and mandatory: a failure here fails the bench)
+    # flagship last (and mandatory: a failure here fails the bench).
+    # This is the PRODUCTION path: configs/neus.yaml ships
+    # training.fused_samplers: true, so the flagship number is measured
+    # with the hierarchical-upsampler megakernel on, exactly as a user
+    # training configs/neus.yaml on a TPU would run it.
     rps = bench_neus_flagship()
     results.append((
-        "NeuS train throughput (512 rays/step, 64+64 samples, eikonal)",
+        "NeuS train throughput (512 rays/step, 64+64 samples, eikonal, "
+        "production fused sampler)",
         rps, "rays/sec/chip", rps / BASELINE_RAYS_PER_SEC))
 
     for metric, value, unit, vs in results:
