@@ -108,6 +108,11 @@ def bench_neus_xla():
     official_solution upsampling, eikonal (grad-of-grad) loss — the exact
     per-step workload of configs/neus.yaml, with the plain XLA upsampler
     (training.fused_samplers: false)."""
+    return _with_env("NEURECON_FUSED_UPSAMPLE", _bench_neus_xla_inner,
+                     value="0")()
+
+
+def _bench_neus_xla_inner():
     from __graft_entry__ import _flagship_args
     args, _, _ = _flagship_args(N_rays=512)
     return _measure_train(args, 1200, 1600, "NeuS")
@@ -118,7 +123,7 @@ def bench_neus_flagship():
     bench_neus_xla but with training.fused_samplers (the default the config
     ships) — the hierarchical upsampler runs as the Pallas megakernel
     (ops/fused_upsample.py), 2.14x the XLA loop on v5e."""
-    return _with_env("NEURECON_FUSED_UPSAMPLE", bench_neus_xla)()
+    return _with_env("NEURECON_FUSED_UPSAMPLE", _bench_neus_xla_inner)()
 
 
 def bench_neus_pipelined():
@@ -203,15 +208,22 @@ def bench_volsdf():
     return _measure_train(args, H, W, "VolSDF")
 
 
-def _with_env(var, fn):
+def _with_env(var, fn, value="1"):
+    """Run fn with os.environ[var]=value, restoring the caller's original
+    value (or absence) afterwards — a caller running with
+    NEURECON_FUSED_UPSAMPLE=interpret must not have it clobbered."""
     import os
 
     def wrapped():
-        os.environ[var] = "1"
+        prior = os.environ.get(var)
+        os.environ[var] = value
         try:
             return fn()
         finally:
-            os.environ[var] = "0"
+            if prior is None:
+                del os.environ[var]
+            else:
+                os.environ[var] = prior
     return wrapped
 
 

@@ -57,13 +57,14 @@ def main_function(args):
     mesh_dir = os.path.join(exp_dir, "meshes")
     io_util.cond_mkdir(exp_dir)
 
-    if args.training.get("fused_samplers", False):
-        # Opt the TRAIN-SAFE sampler megakernels in (the samplers are
-        # gradient-free by construction; the nablas kernel has no VJP and
-        # stays eval-only). Measured on v5e: NeuS step -9.6%, VolSDF step
-        # 2.30x (docs/performance.md); UNISURF's is neutral and stays off.
-        for k in ("NEURECON_FUSED_UPSAMPLE", "NEURECON_FUSED_FINESAMPLE"):
-            os.environ[k] = "1"
+    # The config value is authoritative either way: a pre-exported
+    # NEURECON_FUSED_* shell var (the old opt-in workflow) must not override
+    # --training:fused_samplers false. Measured on v5e: NeuS step -9.6%,
+    # VolSDF step 2.30x (docs/performance.md); UNISURF's kernel is neutral
+    # and stays off. The samplers are gradient-free by construction.
+    fused = args.training.get("fused_samplers", False)
+    for k in ("NEURECON_FUSED_UPSAMPLE", "NEURECON_FUSED_FINESAMPLE"):
+        os.environ[k] = "1" if fused else "0"
 
     logger = Logger(log_dir=exp_dir,
                     img_dir=os.path.join(exp_dir, "imgs"),

@@ -7,6 +7,7 @@ scheduler.step) all happens on device here; only scalar metrics come back.
 """
 from __future__ import annotations
 
+import weakref
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
@@ -146,7 +147,26 @@ def init_train_state(params, optimizer, step: int = 0) -> TrainState:
                       step=jnp.asarray(step, jnp.int32))
 
 
-_RENDER_JIT_CACHE = {}  # (render_fn id, chunk, kwargs) -> jitted chunk renderer
+_RENDER_JIT_CACHE = {}  # (render_fn token, chunk, kwargs) -> jitted renderer
+
+
+def _render_cache_token(obj):
+    """Identity token for the render-jit cache. A weakref where possible: the
+    eviction callback drops entries when the object dies, so a recycled id()
+    can never alias a new renderer/mesh even if a future refactor stops the
+    cached closure from pinning them. Non-weakrefable objects fall back to
+    the object itself (hashable by identity, strongly held by the key)."""
+    if obj is None:
+        return None
+    try:
+        return weakref.ref(obj, _render_cache_evict)
+    except TypeError:
+        return obj
+
+
+def _render_cache_evict(dead_ref):
+    for k in [k for k in _RENDER_JIT_CACHE if dead_ref in k]:
+        _RENDER_JIT_CACHE.pop(k, None)
 
 
 def render_full_image(render_fn, params, rays_o, rays_d, key,
@@ -245,7 +265,8 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
     if microchunk and rayschunk % microchunk:
         raise ValueError(f"rayschunk {rayschunk} must be a multiple of "
                          f"microchunk {microchunk}")
-    cache_key = (id(render_fn), rayschunk, id(mesh), microchunk,
+    cache_key = (_render_cache_token(render_fn), rayschunk,
+                 _render_cache_token(mesh), microchunk,
                  bool(microchunk_unroll),
                  tuple(sorted(render_call_kwargs.items())))
     chunked = _RENDER_JIT_CACHE.get(cache_key)
@@ -268,9 +289,18 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
             jit_kwargs["in_shardings"] = ((repl, rs, rs, repl) if uses_key
                                           else (repl, rs, rs))
 
+        # The cached closure must not strongly pin render_fn, or the weakref
+        # token above could never fire and dead renderers' compiled programs
+        # would accumulate for the life of the process. Calls only happen
+        # while render_fn is alive (it is this function's argument).
+        try:
+            _fn_ref = weakref.ref(render_fn)
+        except TypeError:
+            _fn_ref = (lambda _fn=render_fn: _fn)
+
         def call(p, o, d, k):
             if not microchunk:
-                return render_fn(p, o, d, k, **render_call_kwargs)
+                return _fn_ref()(p, o, d, k, **render_call_kwargs)
             n_micro = rayschunk // microchunk
 
             def body(xs):
@@ -278,7 +308,7 @@ def render_full_image(render_fn, params, rays_o, rays_d, key,
                 # distinct key per block: a stochastic render_fn (perturb)
                 # must not repeat the same jitter across blocks
                 kb = None if k is None else jax.random.fold_in(k, i)
-                return render_fn(p, ob, db, kb, **render_call_kwargs)
+                return _fn_ref()(p, ob, db, kb, **render_call_kwargs)
             ob = o.reshape(n_micro, microchunk, 3)
             db = d.reshape(n_micro, microchunk, 3)
             if mesh is not None:

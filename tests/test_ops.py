@@ -231,8 +231,10 @@ class TestConfig:
         assert c.data.N_rays == 1024 and c.data.flag is False and c.expname == "y"
 
     def test_optional_defaults_cli_overridable(self, tmp_path):
-        """training.fused_samplers is absent from the yamls but injected
-        before the strict CLI merge, so --training:fused_samplers works."""
+        """training.fused_samplers is an optional key: the flagship yamls now
+        ship it explicitly, but for configs that omit it (like this temp one)
+        it is injected as a default before the strict CLI merge, so
+        --training:fused_samplers works either way."""
         import argparse
 
         from neurecon_tpu.config import (ConfigDict, load_config,

@@ -97,6 +97,40 @@ class TestMicrochunk:
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
 
+    def test_sequential_renderers_do_not_alias(self):
+        """Two renderers created one after another (the second possibly
+        reusing the first's recycled id()) must each get their own compiled
+        program: the cache keys on weakref tokens, and a dead renderer's
+        entries are evicted rather than left to alias a newcomer."""
+        import gc
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from neurecon_tpu import training
+
+        o = np.ones((64, 3), np.float32)
+        d = np.ones((64, 3), np.float32)
+
+        def run(scale):
+            def render_fn(p, o, d, k, **kw):
+                return o * scale, jnp.zeros(o.shape[0]), {}
+
+            out = training.render_full_image(
+                render_fn, {}, o, d, jax.random.PRNGKey(0), rayschunk=64)
+            tok = training._render_cache_token(render_fn)
+            assert any(tok == k[0] for k in training._RENDER_JIT_CACHE), \
+                "cache key must be the weakref token of the live renderer"
+            return out["rgb"][0, 0]
+
+        n0 = len(training._RENDER_JIT_CACHE)
+        assert run(2.0) == 2.0
+        gc.collect()  # first renderer is now dead -> its entry must evict
+        assert run(5.0) == 5.0
+        gc.collect()
+        assert len(training._RENDER_JIT_CACHE) <= n0 + 1, \
+            "dead renderers' cache entries must be evicted, not accumulate"
+
     def test_microchunk_unroll_equals_map(self):
         """The straight-line (Python-unrolled) micro-block path — the TPU
         workaround for the lax.map miscompile (docs/methods.md) — must be
