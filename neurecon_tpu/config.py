@@ -147,6 +147,7 @@ def _inject_optional_defaults(config: "ConfigDict") -> None:
     opt-in switches must pre-exist in the dict)."""
     if "training" in config:
         config.training.setdefault("fused_samplers", False)
+        config.training.setdefault("fused_nablas_vjp", False)
 
 
 def load_config(args, unknown: List[str],

@@ -272,6 +272,14 @@ class ImplicitSurface:
         """
         from neurecon_tpu.ops.fused_nablas import (fused_forward_with_nablas,
                                                    fused_nablas_enabled)
+        from neurecon_tpu.ops.fused_nablas_vjp import (
+            fused_forward_with_nablas_vjp, fused_nablas_vjp_enabled)
+        if fused_nablas_vjp_enabled() and self.W_geo_feat > 0:
+            # TRAIN-SAFE: hand-derived custom VJP (ops/fused_nablas_vjp.py)
+            # — composes with the outer loss grad including the eikonal
+            # grad-of-grad. Gate: NEURECON_FUSED_NABLAS_VJP /
+            # training.fused_nablas_vjp.
+            return fused_forward_with_nablas_vjp(self, params, x)
         if fused_nablas_enabled() and self.W_geo_feat > 0:
             return fused_forward_with_nablas(self, params, x)
         prefix = x.shape[:-1]

@@ -65,6 +65,10 @@ def main_function(args):
     fused = args.training.get("fused_samplers", False)
     for k in ("NEURECON_FUSED_UPSAMPLE", "NEURECON_FUSED_FINESAMPLE"):
         os.environ[k] = "1" if fused else "0"
+    # The TRAIN-PATH fused nablas kernel (custom VJP, ops/fused_nablas_vjp.py)
+    # replaces the step's dominant grad-of-grad block; same authority rule.
+    os.environ["NEURECON_FUSED_NABLAS_VJP"] = (
+        "1" if args.training.get("fused_nablas_vjp", False) else "0")
 
     logger = Logger(log_dir=exp_dir,
                     img_dir=os.path.join(exp_dir, "imgs"),
