@@ -365,6 +365,7 @@ def fused_forward_with_nablas_vjp(surface, params, x, tile: int = 256,
     hand-derived phase-3 φ'' terms."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    tile = int(os.environ.get("NEURECON_FUSED_NABLAS_VJP_TILE", tile))
     assert surface.W_geo_feat > 0, "kernel needs the split geo-feature head"
     prefix = x.shape[:-1]
     x_flat = x.reshape(-1, 3).astype(jnp.float32)

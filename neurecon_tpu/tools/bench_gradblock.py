@@ -17,13 +17,22 @@ import jax
 import jax.numpy as jnp
 
 
-def main(M: int = 65536, K: int = 20):
+def main(M: int = 65536, K: int = 20, fused: bool = False, tile: int = 256):
+    import os
+
     from neurecon_tpu.models.base import ImplicitSurface
 
     surf = ImplicitSurface(W=256, D=8, skips=(4,), W_geo_feat=256,
                            embed_multires=6, weight_norm=True)
     params = surf.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (M, 3), jnp.float32, -1, 1)
+
+    if fused:
+        # route through the custom-VJP Pallas pair (ops/fused_nablas_vjp.py)
+        os.environ["NEURECON_FUSED_NABLAS_VJP"] = "1"
+        os.environ["NEURECON_FUSED_NABLAS_VJP_TILE"] = str(tile)
+    else:
+        os.environ["NEURECON_FUSED_NABLAS_VJP"] = "0"
 
     def loss(p, pts):
         sdf, nablas, h = surf.forward_with_nablas(p, pts)
@@ -60,6 +69,7 @@ def main(M: int = 65536, K: int = 20):
 
     tf_s = flops / best / 1e12
     print(json.dumps({
+        "path": ("fused-vjp tile=%d" % tile) if fused else "xla",
         "M": M, "K": K, "block_s": round(best, 4),
         "per_rep_ms": round(best / K * 1e3, 3),
         "program_gflop": round(flops / 1e9, 1),
@@ -73,5 +83,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--M", type=int, default=65536)
     ap.add_argument("--K", type=int, default=20)
+    ap.add_argument("--fused", action="store_true",
+                    help="use the custom-VJP fused nablas Pallas pair")
+    ap.add_argument("--tile", type=int, default=256)
     a = ap.parse_args()
-    main(a.M, a.K)
+    main(a.M, a.K, a.fused, a.tile)
