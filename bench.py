@@ -383,6 +383,23 @@ def main():
         print(f"# bench[render-surface] failed: "
               f"{str(e).splitlines()[0][:120]}", flush=True)
 
+    # standing toolchain probe (VERDICT r3 #5): opt-in via NEURECON_PROBE_TPU
+    # so a compiler update that re-breaks (or fixes) the mapped render path
+    # is caught at the next bench run, not rediscovered mid-eval.
+    if os.environ.get("NEURECON_PROBE_TPU", "0") == "1":
+        try:
+            from neurecon_tpu.tools.probe_lax_map import run_probe
+            r = run_probe()
+            print(f"# probe[lax_map] backend={r['backend']} "
+                  f"map_div_frac={r['map_div_frac']:.2e} "
+                  f"unroll_div_frac={r['unroll_div_frac']:.2e} "
+                  f"(unroll must be 0 — it is the production workaround)",
+                  flush=True)
+            assert r["unroll_div_frac"] == 0.0, "unrolled microchunk diverged!"
+        except Exception as e:
+            print(f"# probe[lax_map] failed: {str(e).splitlines()[0][:120]}",
+                  flush=True)
+
     # flagship last (and mandatory: a failure here fails the bench).
     # This is the PRODUCTION path: configs/neus.yaml ships
     # training.fused_samplers: true, so the flagship number is measured
