@@ -24,3 +24,13 @@ except Exception:
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; got " + jax.devices()[0].platform)
 assert jax.device_count() >= 8, "tests need >= 8 virtual CPU devices"
+
+
+def pytest_collection_modifyitems(items):
+    """Auto-mark anything not slow/tpu as fast, so `-m fast` is the
+    complement of `-m slow` without touching every test (pytest.ini)."""
+    import pytest
+
+    for item in items:
+        if not any(m.name in ("slow", "tpu") for m in item.iter_markers()):
+            item.add_marker(pytest.mark.fast)
