@@ -26,11 +26,34 @@ assert jax.devices()[0].platform == "cpu", (
 assert jax.device_count() >= 8, "tests need >= 8 virtual CPU devices"
 
 
+# Tiering (pytest.ini): tests with a measured CPU-mesh duration >= this are
+# auto-marked slow, keeping `pytest -m fast` under ~5 min without hand-marking
+# a hundred tests. Regenerate the manifest after big suite changes with:
+#   pytest tests/ -q --durations=0 2>&1 | grep 's call' > /tmp/dur.log
+#   python tests/_regen_durations.py /tmp/dur.log
+_SLOW_SECONDS = 8.0
+
+
+def _load_durations():
+    import json
+    import pathlib
+    p = pathlib.Path(__file__).parent / "durations.json"
+    try:
+        return json.loads(p.read_text())
+    except Exception:
+        return {}
+
+
 def pytest_collection_modifyitems(items):
-    """Auto-mark anything not slow/tpu as fast, so `-m fast` is the
-    complement of `-m slow` without touching every test (pytest.ini)."""
+    """Mark tests slow from the measured-duration manifest; everything not
+    slow/tpu becomes fast, so `-m fast` is the <5 min gate (pytest.ini).
+    New tests without a manifest entry default to fast."""
     import pytest
 
+    durations = _load_durations()
     for item in items:
+        nodeid = item.nodeid
+        if durations.get(nodeid, 0.0) >= _SLOW_SECONDS:
+            item.add_marker(pytest.mark.slow)
         if not any(m.name in ("slow", "tpu") for m in item.iter_markers()):
             item.add_marker(pytest.mark.fast)
