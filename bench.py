@@ -132,6 +132,11 @@ def bench_neus_pipelined():
     step i+1 overlaps step i's backward (parallel/sharding.py pipelined
     body). Same per-step math; sample placement one step stale."""
     from __graft_entry__ import _flagship_args
+    args, _, _ = _flagship_args(N_rays=512)
+    return _measure_pipelined(args, 1200, 1600, "NeuS-pipelined")
+
+
+def _measure_pipelined(args, H, W, label):
     from neurecon_tpu.dataio.synthetic import make_synthetic_scene
     from neurecon_tpu.models.base import make_optimizer
     from neurecon_tpu.models.frameworks import (get_model, get_pipeline_fns,
@@ -140,8 +145,6 @@ def bench_neus_pipelined():
     from neurecon_tpu.parallel.sharding import make_sharded_train_block
     from neurecon_tpu.training import init_train_state, sample_ray_batch
 
-    args, _, _ = _flagship_args(N_rays=512)
-    H, W = 1200, 1600
     N_rays = int(args.data.N_rays)
     model, _, kw_train, _, _ = get_model(args)
     params = model.init(jax.random.PRNGKey(0))
@@ -176,7 +179,7 @@ def bench_neus_pipelined():
                 block_ok, K = block, K_try
                 break
             except Exception as e:
-                print(f"# bench[NeuS-pipelined]: K={K_try} attempt {attempt} "
+                print(f"# bench[{label}]: K={K_try} attempt {attempt} "
                       f"failed ({str(e).splitlines()[0][:80]})", flush=True)
                 time.sleep(5 * (attempt + 1))
         if block_ok is not None:
@@ -241,6 +244,20 @@ def bench_neus_pipelined_fused():
     no-grad megakernel sampler of step i+1 overlaps step i's backward
     (composition tested: tests/test_fused_upsample.py)."""
     return _with_env("NEURECON_FUSED_UPSAMPLE", bench_neus_pipelined)()
+
+
+def bench_volsdf_pipelined():
+    """VolSDF through the pipelined block: fine_sample (40%+ of the VolSDF
+    step, all no-grad) for step i+1 overlaps step i's backward — the
+    framework where overlap has the most sampler time to hide (VERDICT r3
+    #3: 'try VolSDF first'). XLA sampler path."""
+    args, H, W = _quality_args("synthetic_quality_volsdf.yaml")
+    return _measure_pipelined(args, H, W, "VolSDF-pipelined")
+
+
+def bench_volsdf_pipelined_fused():
+    """overlap_sampler AND the fused fine-sample kernel family together."""
+    return _with_env("NEURECON_FUSED_FINESAMPLE", bench_volsdf_pipelined)()
 
 
 def bench_unisurf():

@@ -165,9 +165,18 @@ class ImplicitSurface:
                  geometric_init: bool = True,
                  embed_multires: int = 6,
                  weight_norm: bool = True,
-                 use_siren: bool = False):
+                 use_siren: bool = False,
+                 sphere_residual: bool = False):
         if use_siren:
             assert len(skips) == 0, "do not use skips for siren"
+        # Surface-existence prior (docs/quality.md SIREN forensics): the net
+        # learns a RESIDUAL on the analytic sphere, sdf(x) = (|x| - r) + f(x).
+        # Unlike the pretrained-sphere approach (ref base.py:284-310), the
+        # zero-level set cannot be destroyed by early rgb gradients unless f
+        # learns to cancel the sphere everywhere — the degenerate constant
+        # basins stop being reachable by small moves. No reference analogue
+        # (the reference ships no working SIREN recipe).
+        self.sphere_residual = sphere_residual
         self.W, self.D = W, D
         self.skips = tuple(skips)
         self.W_geo_feat = W_geo_feat
@@ -235,6 +244,7 @@ class ImplicitSurface:
         # (e.g. [N, 1, 3]) trip this environment's TPU compiler
         prefix = x.shape[:-1]
         x = x.reshape(-1, x.shape[-1])
+        x_raw = x
         x = self.embed_fn(x)
         h = x
         for i in range(self.D):
@@ -252,9 +262,21 @@ class ImplicitSurface:
         else:
             h_out = h  # NeRF-like: last hidden features
             sdf = apply_linear(out_p, h)[..., 0]
+        if self.sphere_residual:
+            sdf = sdf + self._sphere_sdf(x_raw)
         sdf = sdf.reshape(prefix)
         h_out = h_out.reshape(prefix + h_out.shape[-1:])
         return (sdf, h_out) if return_h else sdf
+
+    def _sphere_sdf(self, x_raw: jnp.ndarray) -> jnp.ndarray:
+        """Analytic |x| - radius_init term of the sphere_residual prior.
+        eps keeps the gradient finite at the origin (grad -> 0 there, which
+        only underestimates |nablas| on a measure-zero point)."""
+        return jnp.sqrt(jnp.sum(x_raw * x_raw, -1) + 1e-12) - self.radius_init
+
+    def _sphere_nablas(self, x_raw: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(jnp.sum(x_raw * x_raw, -1, keepdims=True) + 1e-12)
+        return x_raw / r
 
     def forward_with_nablas(self, params: Params, x: jnp.ndarray):
         """(sdf, nablas, h). Differentiable wrt params AND x (grad-of-grad for
@@ -279,9 +301,11 @@ class ImplicitSurface:
             # — composes with the outer loss grad including the eikonal
             # grad-of-grad. Gate: NEURECON_FUSED_NABLAS_VJP /
             # training.fused_nablas_vjp.
-            return fused_forward_with_nablas_vjp(self, params, x)
+            out = fused_forward_with_nablas_vjp(self, params, x)
+            return self._add_sphere_terms(out, x)
         if fused_nablas_enabled() and self.W_geo_feat > 0:
-            return fused_forward_with_nablas(self, params, x)
+            out = fused_forward_with_nablas(self, params, x)
+            return self._add_sphere_terms(out, x)
         prefix = x.shape[:-1]
         x_flat = x.reshape(-1, x.shape[-1])
 
@@ -293,12 +317,24 @@ class ImplicitSurface:
         return (sdf.reshape(prefix), grads.reshape(prefix + x.shape[-1:]),
                 h.reshape(prefix + h.shape[-1:]))
 
+    def _add_sphere_terms(self, out, x):
+        """Apply the sphere_residual prior outside a fused kernel: the
+        analytic term is params-free traced XLA, so autodiff through it
+        composes with the kernel's custom VJP for free."""
+        if not self.sphere_residual:
+            return out
+        sdf, nablas, h = out
+        return (sdf + self._sphere_sdf(x), nablas + self._sphere_nablas(x), h)
+
     def forward_fast(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Forward-only sdf query through the fused Pallas MLP kernel
         (keeps activations in VMEM across all layers). For gradient-free
         contexts only — samplers, ray casting, mesh grids."""
         from neurecon_tpu.ops.fused_mlp import fused_sdf_forward
-        return fused_sdf_forward(self, params, x)
+        sdf = fused_sdf_forward(self, params, x)
+        if self.sphere_residual:
+            sdf = sdf + self._sphere_sdf(x)
+        return sdf
 
     def forward_query(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Gradient-free sdf query: the fused Pallas kernel on TPU, the plain

@@ -574,6 +574,11 @@ def get_model(args):
         "D": args.model.surface.setdefault("D", 8),
         "W": args.model.surface.setdefault("W", 256),
         "skips": args.model.surface.setdefault("skips", [4]),
+        # surface-existence prior: sdf = (|x| - radius_init) + f(x)
+        # (base.py sphere_residual; designed for the SIREN recipe whose
+        # pretrained sphere is otherwise destroyed, docs/quality.md)
+        "sphere_residual": args.model.surface.setdefault(
+            "sphere_residual", False),
     }
     radiance_cfg = {
         "use_siren": args.model.radiance.setdefault(
