@@ -120,10 +120,16 @@ def _bench_neus_xla_inner():
 
 def bench_neus_flagship():
     """The configs/neus.yaml production path: same workload as
-    bench_neus_xla but with training.fused_samplers (the default the config
-    ships) — the hierarchical upsampler runs as the Pallas megakernel
-    (ops/fused_upsample.py), 2.14x the XLA loop on v5e."""
-    return _with_env("NEURECON_FUSED_UPSAMPLE", _bench_neus_xla_inner)()
+    bench_neus_xla but with training.fused_samplers AND
+    training.fused_nablas_vjp (the defaults the config ships) — the
+    hierarchical upsampler runs as the Pallas megakernel
+    (ops/fused_upsample.py, 2.14x the XLA loop on v5e) and the step's
+    dominant eikonal grad-of-grad block runs through the custom-VJP fused
+    nablas pair (ops/fused_nablas_vjp.py, 2.2x the XLA grad block on v5e:
+    6.30 vs 13.83 ms per 65536-point rep, tile sweep 2026-08-19)."""
+    return _with_env(
+        "NEURECON_FUSED_UPSAMPLE",
+        _with_env("NEURECON_FUSED_NABLAS_VJP", _bench_neus_xla_inner))()
 
 
 def bench_neus_pipelined():
@@ -231,19 +237,26 @@ def _with_env(var, fn, value="1"):
 
 
 def bench_volsdf_fused():
-    """Same VolSDF workload through the fused fine-sample kernel family
-    (ops/fused_fine_sample.py, NEURECON_FUSED_FINESAMPLE=1): upsample +
-    MLP re-query and checkpoint + beta-bisection as Pallas kernels with the
-    surface weights VMEM-resident, XLA stable sort merging between them.
-    Measured 2.30x the XLA step on v5e (2026-08-19); loss agrees to ~2e-6."""
-    return _with_env("NEURECON_FUSED_FINESAMPLE", bench_volsdf)()
+    """The configs/volsdf.yaml production path: the fused fine-sample kernel
+    family (ops/fused_fine_sample.py, NEURECON_FUSED_FINESAMPLE=1 — upsample
+    + MLP re-query and checkpoint + beta-bisection as Pallas kernels with the
+    surface weights VMEM-resident, 2.30x the XLA step on v5e) plus the
+    custom-VJP fused nablas kernel (ops/fused_nablas_vjp.py,
+    +24% on top: 20.8k -> 25.8k rays/s, 2026-08-19)."""
+    return _with_env(
+        "NEURECON_FUSED_FINESAMPLE",
+        _with_env("NEURECON_FUSED_NABLAS_VJP", bench_volsdf))()
 
 
 def bench_neus_pipelined_fused():
-    """overlap_sampler AND the fused upsampler megakernel together — the
-    no-grad megakernel sampler of step i+1 overlaps step i's backward
-    (composition tested: tests/test_fused_upsample.py)."""
-    return _with_env("NEURECON_FUSED_UPSAMPLE", bench_neus_pipelined)()
+    """overlap_sampler AND the full production kernel set (fused upsampler
+    megakernel + custom-VJP nablas) together — the no-grad megakernel
+    sampler of step i+1 overlaps step i's backward (composition tested:
+    tests/test_fused_upsample.py). Directly comparable to the flagship row:
+    the delta is what pipelining buys on top of the production kernels."""
+    return _with_env(
+        "NEURECON_FUSED_UPSAMPLE",
+        _with_env("NEURECON_FUSED_NABLAS_VJP", bench_neus_pipelined))()
 
 
 def bench_volsdf_pipelined():
@@ -256,16 +269,27 @@ def bench_volsdf_pipelined():
 
 
 def bench_volsdf_pipelined_fused():
-    """overlap_sampler AND the fused fine-sample kernel family together."""
-    return _with_env("NEURECON_FUSED_FINESAMPLE", bench_volsdf_pipelined)()
+    """overlap_sampler AND the full production kernel set (fused fine-sample
+    family + custom-VJP nablas) together."""
+    return _with_env(
+        "NEURECON_FUSED_FINESAMPLE",
+        _with_env("NEURECON_FUSED_NABLAS_VJP", bench_volsdf_pipelined))()
 
 
 def bench_unisurf():
     """Full-size UNISURF (root-finding caster + 8-step secant, 64 interval +
     32 freespace samples, normal-smoothness reg) — the per-step workload of
-    configs/unisurf.yaml."""
+    configs/unisurf.yaml, plain XLA."""
     args, H, W = _quality_args("synthetic_quality_unisurf.yaml")
     return _measure_train(args, H, W, "UNISURF")
+
+
+def bench_unisurf_fused():
+    """The configs/unisurf.yaml production path: same workload through the
+    custom-VJP fused nablas kernel (UNISURF has no sampler megakernel — its
+    root-find kernel measured neutral, docs/round3.md). Measured 1.39x on
+    v5e: 37.2k -> 51.9k rays/s (2026-08-19)."""
+    return _with_env("NEURECON_FUSED_NABLAS_VJP", bench_unisurf)()
 
 
 def bench_render(cull: bool = False):
@@ -360,8 +384,8 @@ def main():
     for name, fn in (("VolSDF", bench_volsdf),
                      ("VolSDF-fused", bench_volsdf_fused),
                      ("UNISURF", bench_unisurf),
+                     ("UNISURF-fused", bench_unisurf_fused),
                      ("NeuS-XLA", bench_neus_xla),
-                     ("NeuS-pipelined", bench_neus_pipelined),
                      ("NeuS-pipelined-fused", bench_neus_pipelined_fused)):
         try:
             rps = fn()
@@ -419,13 +443,14 @@ def main():
 
     # flagship last (and mandatory: a failure here fails the bench).
     # This is the PRODUCTION path: configs/neus.yaml ships
-    # training.fused_samplers: true, so the flagship number is measured
-    # with the hierarchical-upsampler megakernel on, exactly as a user
-    # training configs/neus.yaml on a TPU would run it.
+    # training.fused_samplers: true AND training.fused_nablas_vjp: true,
+    # so the flagship number is measured with the hierarchical-upsampler
+    # megakernel and the custom-VJP fused nablas kernel on, exactly as a
+    # user training configs/neus.yaml on a TPU would run it.
     rps = bench_neus_flagship()
     results.append((
         "NeuS train throughput (512 rays/step, 64+64 samples, eikonal, "
-        "production fused sampler)",
+        "production fused sampler + fused nablas VJP)",
         rps, "rays/sec/chip", rps / BASELINE_RAYS_PER_SEC))
 
     for metric, value, unit, vs in results:

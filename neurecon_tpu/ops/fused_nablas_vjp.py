@@ -325,13 +325,18 @@ def _make_op(config_key, tile: int, out_pad: int, W_pad: int, weight_shapes,
                            interpret)
     bwd_call = _build_bwd_call(config_key, tile, out_pad, W_pad,
                                weight_shapes, interpret)
+    # Keep the embedding constants as NUMPY in this lru_cached closure and
+    # convert per call: jnp.asarray inside a jit trace stages a device_put
+    # (a tracer), and caching that tracer across traces is a leak
+    # (UnexpectedTracerError on the second trace — hit on-chip in
+    # bench_gradblock where the first op call happens inside jax.jit).
     F_np = build_embed_const(multires)
-    F_const = jnp.asarray(F_np)
-    FT_const = jnp.asarray(np.pad(F_np[0:3].T, ((0, 0), (0, 125))))
+    FT_np = np.pad(F_np[0:3].T, ((0, 0), (0, 125)))
 
     def _primal(ws, bs, xpad):
         gsdf = ws[-1][:, 0:1].T  # d(sdf)/d(h_D): final projection's sdf row
-        return fwd_call(xpad, F_const, FT_const, gsdf, list(zip(ws, bs)))
+        return fwd_call(xpad, jnp.asarray(F_np), jnp.asarray(FT_np), gsdf,
+                        list(zip(ws, bs)))
 
     @jax.custom_vjp
     def op(ws, bs, xpad):
@@ -344,7 +349,8 @@ def _make_op(config_key, tile: int, out_pad: int, W_pad: int, weight_shapes,
         ws, bs, xpad = res
         cot_sn, cot_h = cot
         gsdf = ws[-1][:, 0:1].T
-        outs = bwd_call(xpad, F_const, FT_const, gsdf, cot_sn, cot_h, ws, bs)
+        outs = bwd_call(xpad, jnp.asarray(F_np), jnp.asarray(FT_np), gsdf,
+                        cot_sn, cot_h, ws, bs)
         xbar, gsdfbar = outs[0], outs[1]
         wbars = list(outs[2::2])
         bbars = list(outs[3::2])
@@ -356,7 +362,7 @@ def _make_op(config_key, tile: int, out_pad: int, W_pad: int, weight_shapes,
     return op
 
 
-def fused_forward_with_nablas_vjp(surface, params, x, tile: int = 256,
+def fused_forward_with_nablas_vjp(surface, params, x, tile: int = 512,
                                   interpret: bool = None):
     """(sdf, nablas, h_geo) with full custom-VJP support — the train-path
     drop-in for ImplicitSurface.forward_with_nablas (ref base.py:265-282).
