@@ -113,6 +113,18 @@ def save_config(config: ConfigDict, path: str):
 def _coerce(old_value: Any, raw: str) -> Any:
     if isinstance(old_value, bool):
         return raw.lower() == "true"
+    if isinstance(old_value, list):
+        # list-valued overrides, e.g. --training:milestones "[100000,200000]"
+        # or a bare comma list "100000,200000"; element type follows the
+        # first existing element (int/float/str), yaml handles the rest.
+        parsed = yaml.safe_load(raw)
+        if not isinstance(parsed, list):
+            parsed = [p for p in str(raw).strip("[]").split(",") if p != ""]
+        if old_value:
+            elem_t = type(old_value[0])
+            parsed = [e if isinstance(e, elem_t) else elem_t(e)
+                      for e in parsed]
+        return parsed
     if old_value is not None:
         return type(old_value)(raw)
     return raw
