@@ -170,6 +170,59 @@ class TestFusedNablasVJP:
             assert _rel_err(b, a) < 5e-4, (jax.tree_util.keystr(path),
                                            _rel_err(b, a))
 
+    @pytest.mark.parametrize("framework", ["volsdf", "unisurf"])
+    def test_full_framework_train_step_grads(self, monkeypatch, framework):
+        """Composition for the other two frameworks (promotion to default
+        covers all three): the complete VolSDF / UNISURF ray loss
+        differentiated wrt params must produce the same gradients with the
+        fused-VJP kernel as with the plain path."""
+        from neurecon_tpu.config import load_yaml
+
+        args = load_yaml(f"configs/synthetic_quality_{framework}.yaml")
+        args.model.surface.update({"W": 64, "D": 3, "skips": [1],
+                                   "embed_multires": 4})
+        args.model.radiance.update({"W": 32, "D": 2})
+        args.model.W_geometry_feature = 64
+        if framework == "volsdf":
+            from neurecon_tpu.models.frameworks.volsdf import (
+                get_model, make_ray_loss_fn)
+            args.model.max_upsample_iter = 2
+            args.model.N_samples = 16
+            args.model.N_importance = 8
+        else:
+            from neurecon_tpu.models.frameworks.unisurf import (
+                get_model, make_ray_loss_fn)
+            args.model.N_query = 16
+            args.model.N_freespace = 8
+            args.model.N_steps = 32
+        model, _tf, kw, _, _ = get_model(args)
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(11)
+        d = rng.randn(8, 3).astype(np.float32)
+        d[:, 2] += 3.0
+        rb = {"rays_o": jnp.broadcast_to(
+                  jnp.asarray([0.0, 0.0, -3.0]), (8, 3)),
+              "rays_d": jnp.asarray(d),
+              "target_rgb": jnp.full((8, 3), 0.5),
+              "target_mask": jnp.ones((8,), bool)}
+        rk = dict(kw)
+        rk.update({"H": 4, "W": 4, "perturb": True})
+        key = jax.random.PRNGKey(5)
+
+        def grads(pathval):
+            monkeypatch.setenv("NEURECON_FUSED_NABLAS_VJP", pathval)
+            loss = make_ray_loss_fn(model, args, rk)
+            return jax.grad(
+                lambda p: loss(p, rb, key, 0)[0])(params)
+
+        g_ref = grads("0")
+        g_k = grads("interpret")
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(g_ref),
+                jax.tree_util.tree_leaves(g_k)):
+            assert _rel_err(b, a) < 5e-4, (jax.tree_util.keystr(path),
+                                           _rel_err(b, a))
+
     def test_gate_routes_training_path(self, monkeypatch):
         """NEURECON_FUSED_NABLAS_VJP=interpret routes forward_with_nablas
         through the custom-VJP kernel (and composes with jax.grad, unlike
