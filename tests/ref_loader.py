@@ -37,6 +37,28 @@ def _install_stubs():
         tv.utils = tv_utils
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv_utils
+    if "skimage" not in sys.modules:
+        def _unavailable_sk(*_a, **_k):  # load_rgb rescale / marching_cubes
+            raise RuntimeError("skimage stub: not available in tests")
+
+        sk = types.ModuleType("skimage")
+        sk_t = types.ModuleType("skimage.transform")
+        sk_t.rescale = _unavailable_sk
+        sk_m = types.ModuleType("skimage.measure")
+        sk_m.marching_cubes = _unavailable_sk
+        sk.transform, sk.measure = sk_t, sk_m
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = sk_t
+        sys.modules["skimage.measure"] = sk_m
+    if "plyfile" not in sys.modules:
+        ply = types.ModuleType("plyfile")
+
+        class _Unavailable:  # mesh_util PLY writing — never used here
+            def __init__(self, *_a, **_k):
+                raise RuntimeError("plyfile stub: not available in tests")
+
+        ply.PlyData = ply.PlyElement = _Unavailable
+        sys.modules["plyfile"] = ply
     if "addict" not in sys.modules:
         addict = types.ModuleType("addict")
 
@@ -90,7 +112,10 @@ def load_reference():
 # ---------------------------------------------------------------------------
 
 def t2n(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy())
+    # COPY, not a view: .numpy() shares storage with the torch tensor, so a
+    # later in-place torch update (optimizer.step()) would silently mutate
+    # the converted JAX pytree mid-test (bit us in the trajectory test).
+    return np.array(t.detach().cpu().numpy(), copy=True)
 
 
 def convert_linear(sd: dict, prefix: str) -> dict:
