@@ -26,20 +26,14 @@ import numpy as np
 
 from neurecon_tpu.models.base import ImplicitSurface, RadianceNet
 from neurecon_tpu.models.ray_casting import root_finding_surface_points
-from neurecon_tpu.ops.fused_root_find import (fused_root_find,
-                                              fused_root_find_enabled)
 
 
 def _root_find_dispatch(model, sg_params, rays_o, rays_d, *, near, far,
                         N_steps, method, logit_tau, fill_inf):
-    """root_finding_surface_points, or its Pallas megakernel form when the
-    gate is on (ops/fused_root_find.py). Deterministic, so the two paths
-    agree elementwise."""
-    if method == "secant" and fused_root_find_enabled():
-        return fused_root_find(
-            model.implicit_surface, sg_params["implicit_surface"],
-            rays_o, rays_d, near, far, n_steps=N_steps,
-            logit_tau=logit_tau, fill_inf=fill_inf)
+    """Gradient-free surface root find. A Pallas megakernel form existed
+    through round 4 but measured NEUTRAL on-chip (the XLA lowering of the
+    fixed-grid march + masked argmin + secant is already fusion-friendly)
+    and was deleted in round 5; docs/performance.md keeps the writeup."""
     return root_finding_surface_points(
         lambda x: model.forward_surface(sg_params, x), rays_o, rays_d,
         near=near, far=far, N_steps=N_steps, method=method,

@@ -122,9 +122,9 @@ def save_video(imgs: np.ndarray, fname: str, as_gif: bool = False, fps: int = 24
 
 def enable_fused_kernels():
     """--fused_kernels: opt all eval-path Pallas megakernels in (upsampler,
-    fine-sample, root-find, nablas). Eval tools only — the nablas kernel has
-    no VJP and must never be on during training."""
+    fine-sample, nablas). Eval tools only — the nablas kernel has no VJP and
+    must never be on during training."""
     import os
     for k in ("NEURECON_FUSED_UPSAMPLE", "NEURECON_FUSED_FINESAMPLE",
-              "NEURECON_FUSED_ROOTFIND", "NEURECON_FUSED_NABLAS"):
+              "NEURECON_FUSED_NABLAS"):
         os.environ[k] = "1"
