@@ -52,8 +52,16 @@ def record(name: str, err: float, tol: float):
 def _write_report():
     yield
     out = pathlib.Path(__file__).resolve().parent.parent / "docs" / "figures"
-    if out.is_dir():
-        (out / "ref_parity.json").write_text(json.dumps(_REPORT, indent=1))
+    if out.is_dir() and _REPORT:
+        # merge-write: partial runs (-k, xdist workers) must not clobber
+        # rows owned by tests that didn't run in this process
+        p = out / "ref_parity.json"
+        try:
+            merged = json.loads(p.read_text())
+        except Exception:
+            merged = {}
+        merged.update(_REPORT)
+        p.write_text(json.dumps(merged, indent=1))
 
 
 def maxdiff(a, b) -> float:
