@@ -627,3 +627,170 @@ def test_neus_train_trajectory_parity():
         worst_vs_drift = max(worst_vs_drift, dev / (drift + 1e-6))
     record("neus_traj20_param_absdiff", worst_abs, 3e-3)
     record("neus_traj20_param_vs_drift", worst_vs_drift, 0.35)
+
+
+# ---------------------------------------------------------------------------
+# VolSDF / UNISURF training-path gradient parity (ref volsdf.py:572-644,
+# unisurf.py:303-352) — identical losses written manually on both sides
+# (random eikonal box points / reg neighbors replaced by FIXED fixtures so
+# the comparison is deterministic), gradients through the full renderers.
+# ---------------------------------------------------------------------------
+
+def _grads_pytree_generic(ref_model, names):
+    gd = {name: p.grad for name, p in ref_model.named_parameters()}
+    tree = {}
+    for head, scalar in names.items():
+        if scalar:
+            tree[head] = t2n(gd[head])
+        else:
+            sub = getattr(ref_model, head)
+            tree[head] = {"layers": [
+                convert_linear(gd, f"{head}.{'surface_fc_layers' if head == 'implicit_surface' else 'layers'}.{l}")
+                for l in range(sub.D + 1)]}
+    return tree
+
+
+def _compare_grad_trees(ref_grads, j_grads, label, tol=5e-3):
+    flat_r = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_j = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(j_grads)}
+    assert len(flat_r) == len(flat_j)
+    worst = 0.0
+    for k, v_ref in flat_r:
+        key = jax.tree_util.keystr(k)
+        v_ref = np.asarray(v_ref)
+        scale = float(np.max(np.abs(v_ref))) + 1e-6
+        err = maxdiff(v_ref, flat_j[key]) / scale
+        assert err < tol, f"{label} grad mismatch at {key}: rel {err:.2e}"
+        worst = max(worst, err)
+    record(label, worst, tol)
+
+
+@pytest.mark.slow
+def test_volsdf_loss_and_grad_parity():
+    """L1 + eikonal (argmax-visibility surface point ⊕ fixed box points, the
+    ref volsdf.py:605-614 assembly) — gradients through fine_sample's
+    stop_gradient boundary, the sphere-bg min-trick, and ln_beta."""
+    ns = load_reference()
+    torch.manual_seed(9)
+    kw = dict(beta_init=0.1, speed_factor=10.0, W_geo_feat=-1,
+              obj_bounding_radius=3.0, use_nerfplusplus=False,
+              surface_cfg=SURF_CFG, radiance_cfg=RAD_CFG)
+    ref_model = ns.volsdf.VolSDF(**kw)
+    j_model = jvolsdf.VolSDF(**{**kw, "surface_cfg": {**SURF_CFG, "skips": (4,)}})
+    params = convert_volsdf(ref_model)
+
+    o, d = camera_rays(12, seed=21)
+    target = np.random.default_rng(22).uniform(0, 1, (12, 3)).astype(np.float32)
+    eik_pts = np.random.default_rng(23).uniform(-3, 3, (12, 1, 3)).astype(np.float32)
+    rkw = dict(near=0.0, far=6.0, obj_bounding_radius=3.0, perturb=False,
+               N_samples=24, N_importance=16, max_upsample_steps=4,
+               max_bisection_steps=10, epsilon=0.1, use_nerfplusplus=False)
+    w_eik = 0.1
+
+    # ---- reference side (manual Trainer.forward, fixed eik points) ----
+    rgb_r, _, ex_r = ns.volsdf.volume_render(
+        torch.from_numpy(o), torch.from_numpy(d), ref_model, batched=False,
+        detailed_output=True, **rkw)
+    nablas = ex_r["implicit_nablas"]
+    _, ind = ex_r["visibility_weights"][..., :nablas.shape[-2]].max(dim=-1)
+    nab_surf = torch.gather(
+        nablas, dim=-2,
+        index=ind[..., None, None].repeat([*(len(nablas.shape) - 1) * [1], 3]))
+    _, nab_eik, _ = ref_model.implicit_surface.forward_with_nablas(
+        torch.from_numpy(eik_pts))
+    nab_all = torch.cat([nab_surf, nab_eik], dim=-2)
+    nn_r = torch.norm(nab_all, dim=-1)
+    loss_r = (torch.nn.functional.l1_loss(rgb_r, torch.from_numpy(target))
+              + w_eik * torch.nn.functional.mse_loss(nn_r, torch.ones_like(nn_r)))
+    loss_r.backward()
+    ref_grads = _grads_pytree_generic(
+        ref_model, {"ln_beta": True, "implicit_surface": False,
+                    "radiance_net": False})
+
+    # ---- jax side (same assembly; eik points ride the render query) ----
+    def loss_fn(p):
+        ret = jvolsdf.volume_render_rays(
+            j_model, p, jnp.asarray(o), jnp.asarray(d), jax.random.PRNGKey(0),
+            detailed_output=True, eik_pts=jnp.asarray(eik_pts), **rkw)
+        nab = ret["implicit_nablas"]
+        ind = jnp.argmax(ret["visibility_weights"][..., :nab.shape[-2]], -1)
+        nab_surf = jnp.take_along_axis(
+            nab, ind[..., None, None].repeat(3, -1), axis=-2)
+        nab_all = jnp.concatenate([nab_surf, ret["eik_nablas"]], axis=-2)
+        nn = jnp.linalg.norm(nab_all, axis=-1)
+        return (jnp.mean(jnp.abs(ret["rgb"] - target))
+                + w_eik * jnp.mean((nn - 1.0) ** 2))
+
+    loss_j, j_grads = jax.value_and_grad(loss_fn)(params)
+    record("volsdf_loss_value", abs(float(loss_r) - float(loss_j)), 2e-5)
+    _compare_grad_trees(ref_grads, j_grads, "volsdf_grad_rel")
+
+
+@pytest.mark.slow
+def test_unisurf_loss_and_grad_parity():
+    """L1 + normal-smoothness reg at (surface point, fixed neighbor) — the
+    ref unisurf.py:326-341 assembly with the intended dim=-1 normals (see
+    test_unisurf_render_parity for the reference's dim bug) — gradients
+    through the root-finder's stop_gradient boundary."""
+    import types
+
+    import torch.nn.functional as F
+
+    ns = load_reference()
+    torch.manual_seed(10)
+    kw = dict(W_geo_feat=-1, surface_cfg=SURF_CFG, radiance_cfg=RAD_CFG)
+    ref_model = ns.unisurf.UNISURF(**kw)
+    j_model = junisurf.UNISURF(**{**kw, "surface_cfg": {**SURF_CFG, "skips": (4,)}})
+    params = convert_unisurf(ref_model)
+
+    def fixed_forward(self, x, view_dirs):  # dim=-1 (ref unisurf.py:34-38)
+        occ, nablas, geometry_feature = self.implicit_surface.forward_with_nablas(x)
+        normals = F.normalize(nablas, dim=-1)
+        return (self.radiance_net.forward(x, view_dirs, normals,
+                                          geometry_feature), occ, nablas)
+
+    ref_model.forward = types.MethodType(fixed_forward, ref_model)
+
+    o, d = camera_rays(12, seed=24)
+    target = np.random.default_rng(25).uniform(0, 1, (12, 3)).astype(np.float32)
+    offsets = (np.random.default_rng(26).uniform(-1, 1, (12, 3)) * 0.01
+               ).astype(np.float32)
+    w_reg = 0.01
+
+    def _unit_t(v):
+        return v / (v.norm(dim=-1, keepdim=True) + 1e-10)
+
+    # ---- reference side ----
+    rgb_r, _, ex_r = ns.unisurf.volume_render(
+        torch.from_numpy(o[None]), torch.from_numpy(d[None]), ref_model,
+        batched=True, perturb=False, N_query=16, N_freespace=8,
+        interval=0.5, detailed_output=True)
+    pt_surf = ex_r["surface_points"][0].detach()
+    _, nab_s, _ = ref_model.implicit_surface.forward_with_nablas(pt_surf)
+    _, nab_p, _ = ref_model.implicit_surface.forward_with_nablas(
+        pt_surf + torch.from_numpy(offsets))
+    loss_r = (F.l1_loss(rgb_r[0], torch.from_numpy(target))
+              + w_reg * ((_unit_t(nab_p) - _unit_t(nab_s)) ** 2).mean())
+    loss_r.backward()
+    ref_grads = _grads_pytree_generic(
+        ref_model, {"implicit_surface": False, "radiance_net": False})
+
+    # ---- jax side ----
+    def _unit_j(v):
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-10)
+
+    def loss_fn(p):
+        ret = junisurf.volume_render_rays(
+            j_model, p, jnp.asarray(o), jnp.asarray(d), jax.random.PRNGKey(0),
+            interval=0.5, perturb=False, N_query=16, N_freespace=8,
+            detailed_output=True)
+        pt = jax.lax.stop_gradient(ret["surface_points"])
+        _, nab_s, _ = j_model.forward_with_nablas(p, pt)
+        _, nab_p, _ = j_model.forward_with_nablas(p, pt + offsets)
+        return (jnp.mean(jnp.abs(ret["rgb"] - target))
+                + w_reg * jnp.mean((_unit_j(nab_p) - _unit_j(nab_s)) ** 2))
+
+    loss_j, j_grads = jax.value_and_grad(loss_fn)(params)
+    record("unisurf_loss_value", abs(float(loss_r) - float(loss_j)), 2e-5)
+    _compare_grad_trees(ref_grads, j_grads, "unisurf_grad_rel")
