@@ -223,9 +223,11 @@ def neus_upsample(model: NeuS, params, rays_o, rays_d, d_coarse, key,
         sdf_fine = query_sdf(d_fine)
         _d = jnp.concatenate([_d, d_fine], axis=-1)
         _sdf = jnp.concatenate([_sdf, sdf_fine], axis=-1)
-        sort_idx = jnp.argsort(_d, axis=-1)
-        _d = jnp.take_along_axis(_d, sort_idx, axis=-1)
-        _sdf = jnp.take_along_axis(_sdf, sort_idx, axis=-1)
+        # one stable 2-operand sort network co-sorts (d, sdf); bitwise equal
+        # to stable argsort + two take_along_axis gathers, minus the gathers
+        # and the iota operand
+        _d, _sdf = jax.lax.sort((_d, _sdf), dimension=-1, is_stable=True,
+                                num_keys=1)
     return jax.lax.stop_gradient(_d)
 
 

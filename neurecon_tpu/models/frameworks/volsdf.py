@@ -123,9 +123,11 @@ def fine_sample(query_sdf_fn, init_dvals, rays_o, rays_d,
         # (see neus.neus_upsample NOTE / docs/performance.md)
         d_vals = jnp.concatenate([d_vals, upsampled], axis=-1)
         sdf = jnp.concatenate([sdf, new_sdf], axis=-1)
-        sort_idx = jnp.argsort(d_vals, axis=-1)
-        d_vals = jnp.take_along_axis(d_vals, sort_idx, axis=-1)
-        sdf = jnp.take_along_axis(sdf, sort_idx, axis=-1)
+        # one stable 2-operand sort network co-sorts (d, sdf); bitwise equal
+        # to stable argsort + two take_along_axis gathers, minus the gathers
+        # and the iota operand
+        d_vals, sdf = jax.lax.sort((d_vals, sdf), dimension=-1,
+                                   is_stable=True, num_keys=1)
 
         # --- re-check bound under the network's current β ---
         net_bounds_max = jnp.max(error_bound(d_vals, sdf, alpha_net, beta_net),
