@@ -45,3 +45,27 @@ def get_pipeline_fns(args, model, render_kwargs_train):
         from neurecon_tpu.models.frameworks.unisurf import make_pipeline_fns
         return make_pipeline_fns(model, args, render_kwargs_train)
     return None
+
+
+def checkpoint_render_kwargs(args, step=None):
+    """Framework-specific render kwargs that depend on the TRAINING STEP a
+    checkpoint was saved at — pass the result into render calls (train-loop
+    validation, eval_rgb/eval_staged/render_view) so a checkpoint is rendered
+    under the sampling schedule it was actually trained with.
+
+    UNISURF's sampling interval Δ decays over training (ref train loop /
+    configs/unisurf.yaml delta_max/delta_min/delta_beta); rendering a
+    checkpoint at the wrong Δ queries the radiance outside its supervised
+    band. NeuS/VolSDF have no step-dependent render state (s and β live in
+    the params pytree) and return {}.
+
+    `step=None` (or a negative step from a checkpoint without global_step)
+    falls back to the end-of-training schedule, the common case for
+    final/latest checkpoints.
+    """
+    if args.model.framework != "UNISURF":
+        return {}
+    from neurecon_tpu.models.frameworks.unisurf import interval_at
+    if step is None or step < 0:
+        step = int(args.training.num_iters)
+    return {"interval": interval_at(args, step)}

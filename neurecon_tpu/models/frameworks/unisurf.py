@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import copy
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -261,6 +262,24 @@ def volume_render_rays(model: UNISURF, params, rays_o, rays_d, key, interval,
         ret["alpha"] = opacity_alpha
         ret["visibility_weights"] = visibility_weights
     return ret
+
+
+def interval_at(args, it) -> float:
+    """The sampling interval Δ the training loop uses at iteration `it`
+    (the exponential decay in make_ray_loss_fn; ref train.py's
+    `args.training.delta_max * exp(-it * delta_beta)` clamp to delta_min).
+
+    Evaluation/val renders of a checkpoint must use the SAME Δ the model was
+    trained with at that step: a late checkpoint trained at Δ=delta_min has
+    its radiance supervised only inside that narrow band around the surface,
+    and rendering it at the iteration-0 Δ spreads query points into regions
+    the radiance never saw (measured: −7 dB full / −26 dB interior on the
+    450k UNISURF checkpoint, docs/quality.md round-5 note).
+    """
+    t = args.training
+    return float(max(float(t.delta_max)
+                     * math.exp(-float(it) * float(t.delta_beta)),
+                     float(t.delta_min)))
 
 
 def make_volume_render_fn(model: UNISURF, default_interval: float = 1.0,

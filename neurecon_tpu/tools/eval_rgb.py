@@ -83,7 +83,12 @@ def main_function(args):
     else:
         ckpt_file = args.load_pt
     with open(ckpt_file, "rb") as f:
-        params = jax.tree_util.tree_map(jnp.asarray, pickle.load(f)["model"])
+        sd = pickle.load(f)
+    params = jax.tree_util.tree_map(jnp.asarray, sd["model"])
+    # render under the sampling schedule the checkpoint was trained with
+    # (e.g. UNISURF's decayed interval Δ at this step)
+    from neurecon_tpu.models.frameworks import checkpoint_render_kwargs
+    step_kwargs = checkpoint_render_kwargs(args, int(sd.get("global_step", -1)))
 
     if args.get("downscale", None):
         args.data["downscale"] = args.downscale
@@ -104,7 +109,8 @@ def main_function(args):
             jnp.asarray(model_input["intrinsics"]), H, W, N_rays=-1)
         ret = render_full_image(render_fn, params, rays_o, rays_d,
                                 jax.random.PRNGKey(i), rayschunk=rayschunk,
-                                microchunk=int(args.get("microchunk", 0)) or None)
+                                microchunk=int(args.get("microchunk", 0)) or None,
+                                **step_kwargs)
         p = psnr(ret["rgb"], gt["rgb"])
         psnrs.append(p)
         msg = f"view {i}: psnr={p:.2f}"

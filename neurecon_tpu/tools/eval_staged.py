@@ -29,7 +29,8 @@ def evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=None, rayschunk=8192,
     import jax.numpy as jnp
 
     from neurecon_tpu.dataio import get_data
-    from neurecon_tpu.models.frameworks import get_model
+    from neurecon_tpu.models.frameworks import (checkpoint_render_kwargs,
+                                                get_model)
     from neurecon_tpu.ops import get_rays
     from neurecon_tpu.tools.eval_mesh import chamfer_distance, sample_surface
     from neurecon_tpu.tools.eval_rgb import masked_psnr_decomposition, psnr
@@ -59,6 +60,9 @@ def evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=None, rayschunk=8192,
             jnp.asarray, sd["model"] if "model" in sd else sd)
         step = int(sd.get("global_step", -1))
         row = {"ckpt": os.path.basename(ckpt), "step": step}
+        # render the checkpoint under the sampling schedule it was trained
+        # with at `step` (e.g. UNISURF's decayed interval Δ)
+        step_kwargs = checkpoint_render_kwargs(args, step)
 
         psnrs, psnrs_m, decomps = [], [], []
         for i in range(n_eval):
@@ -69,7 +73,7 @@ def evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=None, rayschunk=8192,
             ret = render_full_image(render_fn, params, rays_o, rays_d,
                                     jax.random.PRNGKey(i),
                                     rayschunk=rayschunk,
-                                    microchunk=microchunk)
+                                    microchunk=microchunk, **step_kwargs)
             psnrs.append(psnr(ret["rgb"], gt["rgb"]))
             if "object_mask" in model_input:
                 m = np.asarray(model_input["object_mask"], bool)

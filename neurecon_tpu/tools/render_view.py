@@ -53,6 +53,11 @@ def main_function(args):
     with open(ckpt_file, "rb") as f:
         state_dict = pickle.load(f)
     params = jax.tree_util.tree_map(jnp.asarray, state_dict["model"])
+    # volume renders use the sampling schedule the checkpoint was trained
+    # with (e.g. UNISURF's decayed interval Δ); surface renders don't sample
+    from neurecon_tpu.models.frameworks import checkpoint_render_kwargs
+    step_kwargs = checkpoint_render_kwargs(
+        args, int(state_dict.get("global_step", -1)))
 
     if args.get("alter_radiance", None) is not None:
         with open(args.alter_radiance, "rb") as f:
@@ -101,6 +106,7 @@ def main_function(args):
         render_fn = make_surface_render_fn(model, ray_casting_algo=use_surface,
                                            ray_casting_cfgs=cast_cfg)
         normal_key = "normals_surface"
+        step_kwargs = {}
     else:
         kwargs = {k: v for k, v in render_kwargs_test.items()
                   if k not in ("H", "W", "rayschunk")}
@@ -135,7 +141,8 @@ def main_function(args):
                                     args.get("microchunk_unroll", False)),
                                 cull_sphere_r=cull_r,
                                 miss_rgb=1.0 if render_kwargs_test.get(
-                                    "white_bkgd", False) else 0.0)
+                                    "white_bkgd", False) else 0.0,
+                                **step_kwargs)
         rgb_imgs.append(ret["rgb"].reshape(H, W, 3))
         depth = ret["depth_volume"] if "depth_volume" in ret else ret["depth"]
         depth = np.nan_to_num(depth.reshape(H, W, 1), posinf=0.0)

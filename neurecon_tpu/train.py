@@ -233,9 +233,15 @@ def main_function(args):
         rays_o, rays_d, _ = get_rays(
             jax.random.PRNGKey(0), jnp.asarray(val_in["c2w"]),
             jnp.asarray(val_in["intrinsics"]), Hv, Wv, N_rays=-1)
+        # render under the CURRENT training-step sampling schedule (e.g.
+        # UNISURF's decayed interval Δ) — a distinct Δ recompiles the val
+        # render, which is rare (i_val-spaced, and constant once Δ hits
+        # delta_min)
+        from neurecon_tpu.models.frameworks import checkpoint_render_kwargs
         ret = render_full_image(render_fn_test, state.params, rays_o, rays_d,
                                 jax.random.fold_in(train_key, it),
-                                rayschunk=val_rayschunk, mesh=mesh)
+                                rayschunk=val_rayschunk, mesh=mesh,
+                                **checkpoint_render_kwargs(args, it))
         to_img = lambda t: np.asarray(lin2img(jnp.asarray(t), Hv, Wv))
         logger.add_imgs(to_img(val_gt["rgb"].reshape(-1, 3)), "val/gt_rgb", it)
         logger.add_imgs(to_img(ret["rgb"]), "val/predicted_rgb", it)

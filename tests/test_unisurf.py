@@ -130,3 +130,89 @@ class TestTraining:
         assert kw_train["logit_tau"] == 0.0  # tau=0.5 -> 0
         params = model.init(jax.random.PRNGKey(0))
         assert "implicit_surface" in params
+
+
+class TestCheckpointRenderInterval:
+    """Evaluation/val renders of a UNISURF checkpoint must use the interval
+    Δ the model was TRAINED with at that step, not the iteration-0 default —
+    rendering a late checkpoint (Δ=delta_min) at Δ=delta_max queries the
+    radiance far outside its supervised band (measured −7 dB full / −26 dB
+    interior on the 450k reference-length run; docs/quality.md round 5)."""
+
+    def _cfg(self, tmp=None):
+        return ConfigDict({
+            "expname": "itest", "device_ids": -1,
+            "data": {"type": "synthetic", "batch_size": 1, "data_dir": None,
+                     "downscale": 1, "n_images": 2, "H": 20, "W": 24,
+                     "N_rays": 16, "val_rayschunk": 480, "val_downscale": 1},
+            "model": {"framework": "UNISURF", "obj_bounding_radius": 4.0,
+                      "tau": 0.5, "W_geometry_feature": 16,
+                      "N_query": 4, "N_freespace": 2, "N_steps": 16,
+                      "surface": {"D": 1, "W": 16, "skips": [],
+                                  "radius_init": 0.5, "embed_multires": 2},
+                      "radiance": {"D": 1, "W": 16, "skips": [],
+                                   "embed_multires": -1,
+                                   "embed_multires_view": -1}},
+            "training": {"w_reg": 0.01, "delta_max": 1.0, "delta_min": 0.05,
+                         "delta_beta": 1.5e-5, "num_iters": 450000,
+                         "log_root_dir": str(tmp) if tmp else "/tmp"},
+        })
+
+    def test_interval_at_matches_traced_schedule(self):
+        from neurecon_tpu.models.frameworks.unisurf import interval_at
+        args = self._cfg()
+        for it in (0, 1, 50_000, 199_000, 200_000, 450_000):
+            traced = float(jnp.maximum(
+                1.0 * jnp.exp(-jnp.asarray(it, jnp.float32) * 1.5e-5), 0.05))
+            assert abs(interval_at(args, it) - traced) < 1e-6, it
+        assert interval_at(args, 450_000) == 0.05
+        assert interval_at(args, 0) == 1.0
+
+    def test_checkpoint_render_kwargs_dispatch(self):
+        from neurecon_tpu.models.frameworks import checkpoint_render_kwargs
+        args = self._cfg()
+        assert checkpoint_render_kwargs(args, 0) == {"interval": 1.0}
+        assert checkpoint_render_kwargs(args, 450_000) == {"interval": 0.05}
+        # missing global_step (None / -1) falls back to end-of-training
+        assert checkpoint_render_kwargs(args, None) == {"interval": 0.05}
+        assert checkpoint_render_kwargs(args, -1) == {"interval": 0.05}
+        args.model["framework"] = "NeuS"
+        assert checkpoint_render_kwargs(args, 0) == {}
+
+    def test_eval_staged_forwards_trained_interval(self, tmp_path):
+        """eval_staged must thread Δ(step) of EACH checkpoint into the
+        render — spy on render_full_image and check the forwarded kwarg."""
+        import pickle
+
+        import neurecon_tpu.training as training
+        from neurecon_tpu.models.frameworks import get_model as dispatch
+        from neurecon_tpu.tools.eval_staged import evaluate_ckpts
+
+        args = self._cfg(tmp_path)
+        model, *_ = dispatch(args)
+        params = jax.tree_util.tree_map(np.asarray,
+                                        model.init(jax.random.PRNGKey(0)))
+        ckpts = []
+        for step in (0, 450_000):
+            p = tmp_path / f"{step:08d}.pt"
+            with open(p, "wb") as f:
+                pickle.dump({"model": params, "global_step": step}, f)
+            ckpts.append(str(p))
+
+        captured = []
+        real = training.render_full_image
+
+        def spy(render_fn, prm, rays_o, rays_d, key, **kw):
+            captured.append(kw.get("interval"))
+            n = rays_o.reshape(-1, 3).shape[0]
+            return {"rgb": np.zeros((n, 3), np.float32),
+                    "depth_volume": np.zeros((n,), np.float32),
+                    "mask_volume": np.zeros((n,), np.float32)}
+
+        training.render_full_image = spy
+        try:
+            rows = evaluate_ckpts(args, ckpts, gt_mesh=None, n_eval=1)
+        finally:
+            training.render_full_image = real
+        assert captured == [1.0, 0.05], captured
+        assert [r["step"] for r in rows] == [0, 450_000]
