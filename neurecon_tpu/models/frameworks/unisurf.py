@@ -273,8 +273,8 @@ def interval_at(args, it) -> float:
     trained with at that step: a late checkpoint trained at Δ=delta_min has
     its radiance supervised only inside that narrow band around the surface,
     and rendering it at the iteration-0 Δ spreads query points into regions
-    the radiance never saw (measured: −7 dB full / −26 dB interior on the
-    450k UNISURF checkpoint, docs/quality.md round-5 note).
+    the radiance never saw (measured: −9.9 dB full / −43.9 dB interior on
+    the 450k UNISURF checkpoint, docs/quality.md round-5 note).
     """
     t = args.training
     return float(max(float(t.delta_max)

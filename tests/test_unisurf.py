@@ -136,8 +136,9 @@ class TestCheckpointRenderInterval:
     """Evaluation/val renders of a UNISURF checkpoint must use the interval
     Δ the model was TRAINED with at that step, not the iteration-0 default —
     rendering a late checkpoint (Δ=delta_min) at Δ=delta_max queries the
-    radiance far outside its supervised band (measured −7 dB full / −26 dB
-    interior on the 450k reference-length run; docs/quality.md round 5)."""
+    radiance far outside its supervised band (measured −9.9 dB full /
+    −43.9 dB interior on the 450k reference-length run; docs/quality.md
+    round 5)."""
 
     def _cfg(self, tmp=None):
         return ConfigDict({
